@@ -1,0 +1,32 @@
+"""stark_brainfuck_tpu — a TPU-native STARK proving stack for Brainfuck.
+
+A from-scratch JAX/XLA/Pallas re-design (NOT a port) of the capability set of
+the reference implementation `aszepieniec/stark-brainfuck`:
+
+  - Brainfuck compiler / VM / trace recorder          (vm/)
+  - AIR arithmetization: processor, memory, instruction, input, output tables
+    with permutation and evaluation arguments          (models/)
+  - Goldilocks field p = 2^64 - 2^32 + 1 and its cubic extension, radix-2 NTT,
+    low-degree extension, batched inversion            (ops/)
+  - Salted/plain Merkle commitments, Fiat-Shamir proof stream, FRI, and the
+    two-stage RAP prover/verifier orchestration        (protocol/)
+  - Device-mesh sharding of the hot kernels (LDE NTTs, quotient evaluation,
+    FRI folding) via shard_map + collectives           (parallel/)
+  - Transcript-format interop with the reference implementation (interop/)
+
+The compute path is array-programming first: trace columns, codewords and
+quotients are u64 tensors; every hot loop of the reference (per-column
+interpolation, per-point constraint evaluation, codeword folding) is a jitted
+vectorized kernel.
+"""
+
+import jax
+
+# The Goldilocks field needs exact 64-bit integer arithmetic; XLA emulates
+# u64 with 32-bit pairs on TPU.
+jax.config.update("jax_enable_x64", True)
+
+from .config import StarkConfig  # noqa: E402
+
+__all__ = ["StarkConfig"]
+__version__ = "0.1.0"

@@ -1,0 +1,61 @@
+"""Framework configuration.
+
+The reference hardcodes its knobs as in-place-mutated constants
+(`brainfuck_stark.py:33-46`) and one DEBUG env var (`table.py:170`).
+Here every knob is an explicit dataclass field so runs are reproducible
+and mesh/sharding choices are first-class.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+
+@dataclass(frozen=True)
+class StarkConfig:
+    # FRI / soundness parameters (defaults match the reference "for speed"
+    # settings, brainfuck_stark.py:33-46; crank security_level to 160 and
+    # log_expansion_factor to 4 for real deployments)
+    log_expansion_factor: int = 2
+    security_level: int = 2
+    num_randomizers: int = 1
+
+    # subgroup order from which all omicron/omega roots are derived
+    order: int = 1 << 32
+
+    # RNG: None -> os.urandom; an int seed gives a deterministic prover
+    # (useful for tests/replays; the proof remains sound either way)
+    seed: Optional[int] = None
+
+    # transcript codec: "native" (canonical fixed-width byte format) or
+    # "ref" (pickle-compatible with the reference's ProofStream, for
+    # cross-implementation verification)
+    codec: str = "native"
+
+    # device mesh for sharded proving: None = single device; otherwise a
+    # tuple of (axis_name, size) pairs, e.g. (("shard", 8),)
+    mesh_shape: Optional[Tuple[Tuple[str, int], ...]] = None
+
+    # opt-in expensive algebraic sanity checks (the reference's DEBUG mode,
+    # table.py:170-176: interpolate each quotient and assert its degree)
+    debug_degree_checks: bool = field(
+        default_factory=lambda: os.environ.get("DEBUG") is not None
+    )
+
+    @property
+    def expansion_factor(self) -> int:
+        return 1 << self.log_expansion_factor
+
+    @property
+    def num_colinearity_checks(self) -> int:
+        return self.security_level // self.log_expansion_factor
+
+    def validate(self):
+        assert self.expansion_factor >= 4, "expansion factor must be >= 4"
+        assert (
+            self.num_colinearity_checks * self.log_expansion_factor
+            >= self.security_level
+        ), "colinearity checks x log expansion must cover security level"
+        return self

@@ -1,0 +1,190 @@
+"""Goldilocks base-field kernels over p = 2^64 - 2^32 + 1.
+
+Array-first design: a field element batch is a uint64 ndarray (values kept
+canonical, i.e. < p). Every op is elementwise and dual-backend — pass
+``xp=jax.numpy`` on the device path (prover kernels, jit-traceable) or
+``xp=numpy`` on the host path (verifier, twiddle precomputation). Both
+backends share the identical limb code; numpy's C-semantics wraparound on
+uint64 matches XLA's.
+
+Multiplication computes the exact 128-bit product from 32-bit halves and then
+applies the Goldilocks folding identity 2^64 ≡ 2^32 - 1 (mod p), i.e. for
+x = hi·2^64 + lo with hi = hh·2^32 + hl:
+
+    x ≡ lo - hh + hl·(2^32 - 1)   (mod p)
+
+Replaces the reference's per-element object arithmetic
+(`algebra.py:15-145` — BaseFieldElement / BaseField with xgcd inversion);
+inversion here is a fixed square-and-multiply ladder for a^(p-2), which
+vectorizes with no data-dependent control flow (TPU-friendly), unlike xgcd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+P = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
+M32 = 0xFFFFFFFF  # 2^32 - 1 == 2^64 - p (the folding constant)
+GENERATOR = 7  # multiplicative generator of F_p^*      (ref algebra.py:117-120)
+# primitive 2^32-th root of unity = 7^((p-1)/2^32) mod p (ref algebra.py:122-134)
+ROOT_OF_UNITY_2_32 = 1753635133440165772
+MAX_ORDER_LOG2 = 32
+
+U64 = np.uint64
+
+
+def _u64(xp, x):
+    return xp.asarray(x, dtype=xp.uint64)
+
+
+def add(a, b, xp=np):
+    """(a + b) mod p, canonical inputs -> canonical output."""
+    s = a + b
+    # wrapped iff s < a; true sum = s + 2^64 ≡ s + (2^32 - 1) (mod p)
+    s = s + xp.where(s < a, _u64(xp, M32), _u64(xp, 0))
+    return xp.where(s >= _u64(xp, P), s - _u64(xp, P), s)
+
+
+def sub(a, b, xp=np):
+    """(a - b) mod p, canonical inputs -> canonical output."""
+    d = a - b
+    # borrowed iff a < b; wrapped d = a-b+2^64, want a-b+p = d - (2^32-1)
+    return d - xp.where(a < b, _u64(xp, M32), _u64(xp, 0))
+
+
+def neg(a, xp=np):
+    return xp.where(a == 0, a, _u64(xp, P) - a)
+
+
+def reduce128(hi, lo, xp=np):
+    """Reduce a 128-bit value hi·2^64 + lo into [0, p)."""
+    hh = hi >> _u64(xp, 32)
+    hl = hi & _u64(xp, M32)
+    # t0 = lo - hh (mod p); |hh| < 2^32 so one conditional correction suffices
+    t0 = lo - hh
+    t0 = t0 - xp.where(lo < hh, _u64(xp, M32), _u64(xp, 0))
+    # t1 = hl·(2^32 - 1) < 2^64
+    t1 = hl * _u64(xp, M32)
+    r = t0 + t1
+    r = r + xp.where(r < t1, _u64(xp, M32), _u64(xp, 0))
+    return xp.where(r >= _u64(xp, P), r - _u64(xp, P), r)
+
+
+def mul(a, b, xp=np):
+    """(a · b) mod p via exact 128-bit product from 32-bit halves."""
+    al = a & _u64(xp, M32)
+    ah = a >> _u64(xp, 32)
+    bl = b & _u64(xp, M32)
+    bh = b >> _u64(xp, 32)
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    # middle column with carries: t <= (2^32-1)·3 fits in u64
+    t = (ll >> _u64(xp, 32)) + (lh & _u64(xp, M32)) + (hl & _u64(xp, M32))
+    lo = (ll & _u64(xp, M32)) | ((t & _u64(xp, M32)) << _u64(xp, 32))
+    hi = hh + (lh >> _u64(xp, 32)) + (hl >> _u64(xp, 32)) + (t >> _u64(xp, 32))
+    return reduce128(hi, lo, xp)
+
+
+def square(a, xp=np):
+    return mul(a, a, xp)
+
+
+def pow_const(a, exponent: int, xp=np):
+    """a^exponent for a static Python-int exponent (square-and-multiply,
+    unrolled at trace time — no data-dependent control flow)."""
+    if exponent == 0:
+        return xp.ones_like(a)
+    acc = None
+    for bit in bin(exponent)[2:]:
+        if acc is not None:
+            acc = mul(acc, acc, xp)
+        if bit == "1":
+            acc = a if acc is None else mul(acc, a, xp)
+    return acc
+
+
+def inverse(a, xp=np):
+    """a^(p-2), elementwise. a must be nonzero (0 maps to 0)."""
+    return pow_const(a, P - 2, xp)
+
+
+def batch_inverse(a, xp=np):
+    """Vectorized inversion of an array with no zeros.
+
+    The reference uses the sequential Montgomery trick (`ntt.py:177-188`);
+    on TPU a fully-parallel fixed pow ladder (~95 muls/element, zero
+    dependencies) beats the O(n)-depth scan.
+    """
+    return inverse(a, xp)
+
+
+# ---------------------------------------------------------------------------
+# host-side scalar helpers (python ints)
+# ---------------------------------------------------------------------------
+
+
+def h_add(a: int, b: int) -> int:
+    return (a + b) % P
+
+
+def h_sub(a: int, b: int) -> int:
+    return (a - b) % P
+
+
+def h_mul(a: int, b: int) -> int:
+    return (a * b) % P
+
+
+def h_inverse(a: int) -> int:
+    return pow(a, P - 2, P)
+
+
+def h_pow(a: int, e: int) -> int:
+    return pow(a, e, P)
+
+
+def primitive_nth_root(n: int) -> int:
+    """Primitive n-th root of unity, n a power of two ≤ 2^32.
+
+    Matches ref `algebra.py:122-134` (repeated squaring down from the
+    2^32-order root)."""
+    assert n <= (1 << MAX_ORDER_LOG2) and (n & (n - 1)) == 0, (
+        "field only has power-of-two roots of order <= 2^32"
+    )
+    root = ROOT_OF_UNITY_2_32
+    order = 1 << MAX_ORDER_LOG2
+    while order != n:
+        root = h_mul(root, root)
+        order //= 2
+    return root
+
+
+def sample_bytes(byte_array: bytes) -> int:
+    """Hash-to-field: big-endian bytes -> int mod p (ref algebra.py:138-142)."""
+    acc = 0
+    for b in byte_array:
+        acc = (acc << 8) ^ b
+    return acc % P
+
+
+def powers(base: int, count: int, xp=np):
+    """[1, base, base^2, ..., base^(count-1)] as a u64 array.
+
+    Log-depth doubling construction: each step appends prev · base^len(prev),
+    so the whole table needs only O(log n) vectorized muls."""
+    if count <= 0:
+        return xp.zeros((0,), dtype=xp.uint64)
+    out = np.empty((count,), dtype=U64)
+    out[0] = 1
+    length = 1
+    b = base % P
+    while length < count:
+        take = min(length, count - length)
+        factor = U64(h_pow(b, length))
+        out[length : length + take] = mul(out[:take], factor, np)
+        length += take
+    if xp is np:
+        return out
+    return xp.asarray(out)

@@ -1,0 +1,40 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh so sharding
+tests work without TPU hardware, and keep x64 on for u64 field arithmetic."""
+
+import os
+
+# Must be set before jax import (any test importing the package imports jax).
+# The harness presets JAX_PLATFORMS=axon (TPU tunnel) and a sitecustomize that
+# re-forces it via jax.config; tests run on a virtual CPU mesh instead —
+# override both the env var and the live config.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_CODE = "/root/reference/code"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_CODE)
+
+
+def add_reference_to_path():
+    """Make the reference implementation importable as a test oracle.
+
+    Import-only: nothing is copied; the reference runs as the 'golden model'
+    for cross-implementation checks."""
+    if REFERENCE_CODE not in sys.path:
+        sys.path.insert(0, REFERENCE_CODE)
+    # the reference dir is read-only; don't try to write .pyc files there
+    sys.dont_write_bytecode = True
