@@ -27,6 +27,8 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 from .config import StarkConfig  # noqa: E402
+from .vm.machine import VirtualMachine  # noqa: E402
+from .protocol.stark import BrainfuckStark  # noqa: E402
 
-__all__ = ["StarkConfig"]
+__all__ = ["StarkConfig", "VirtualMachine", "BrainfuckStark"]
 __version__ = "0.1.0"

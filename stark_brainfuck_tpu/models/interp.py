@@ -87,6 +87,12 @@ class AVal:
             return AVal(xf.mul_base(e.arr, b.arr, xp), True, self.alg)
         return AVal(f.mul(self.arr, other.arr, xp), False, self.alg)
 
+    def __pow__(self, e: int) -> "AVal":
+        xp = self.alg.xp
+        if self.ext:
+            return AVal(xf.pow_const(self.arr, e, xp), True, self.alg)
+        return AVal(f.pow_const(self.arr, e, xp), False, self.alg)
+
 
 class ArrayAlgebra:
     """Vectorized constraint evaluation over u64 arrays."""

@@ -23,6 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# u64 wraparound is the point of the limb arithmetic below — silence numpy's
+# overflow warning for scalar paths (array paths never warn).
+np.seterr(over="ignore")
+
 P = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
 M32 = 0xFFFFFFFF  # 2^32 - 1 == 2^64 - p (the folding constant)
 GENERATOR = 7  # multiplicative generator of F_p^*      (ref algebra.py:117-120)

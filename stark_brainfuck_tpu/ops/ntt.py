@@ -178,5 +178,5 @@ def lde_xcolumns(
             r.reshape((-1, r.shape[-1])),
             omicron, fri_offset, fri_root, fri_length, xp,
         )
-    out = out.reshape((3,) + trace.shape[:-2] + (trace.shape[-2], fri_length))
+    out = out.reshape((3,) + trace.shape[:-2] + (fri_length,))
     return xp.moveaxis(out, 0, -1)

@@ -1,0 +1,298 @@
+"""FRI low-degree test: vectorized commit/fold, query, verify.
+
+Protocol flow matches ref `fri.py:13-319` (iterated split-and-fold with the
+(1 ± α/x)/2 combination, per-round Merkle commitments, colinearity spot
+checks, explicit last-codeword interpolation), with the folding and domain
+arithmetic as whole-codeword vectorized ops and the last-codeword degree
+check via coset INTT instead of Lagrange interpolation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from ..ops import field as f
+from ..ops import ntt as nt
+from ..ops import xfield as xf
+from .channel import (
+    ProofStream,
+    encode_leaf,
+    sample_indices_fri,
+)
+from .merkle import Merkle
+
+U64 = np.uint64
+
+
+class FriDomain:
+    """The coset offset·⟨omega⟩ of size `length` (ref fri.py:14-44)."""
+
+    def __init__(self, offset: int, omega: int, length: int):
+        self.offset = offset
+        self.omega = omega
+        self.length = length
+
+    def __call__(self, index: int) -> int:
+        return f.h_mul(f.h_pow(self.omega, index), self.offset)
+
+    def array(self, xp=np):
+        return f.mul(f.powers(self.omega, self.length, xp),
+                     xp.asarray(self.offset, dtype=xp.uint64), xp)
+
+    def xevaluate(self, xcoeffs, xp=np):
+        """Evaluate an extension polynomial (coeffs (d, 3)) on the domain."""
+        c = xp.moveaxis(xcoeffs, -1, 0)  # (3, d)
+        out = nt.coset_evaluate(c, self.offset, self.omega, self.length, xp)
+        return xp.moveaxis(out, 0, -1)  # (length, 3)
+
+    def xinterpolate(self, values, xp=np):
+        """Interpolate extension values (N, 3) -> coefficients (N, 3)."""
+        v = xp.moveaxis(values, -1, 0)
+        c = nt.coset_interpolate(v, self.offset, self.omega, xp)
+        return xp.moveaxis(c, 0, -1)
+
+
+def _xleaf(arr_row) -> tuple:
+    return tuple(int(v) for v in arr_row)
+
+
+class Fri:
+    def __init__(
+        self,
+        offset: int,
+        omega: int,
+        initial_domain_length: int,
+        expansion_factor: int,
+        num_colinearity_tests: int,
+    ):
+        self.domain = FriDomain(offset, omega, initial_domain_length)
+        self.expansion_factor = expansion_factor
+        self.num_colinearity_tests = num_colinearity_tests
+        assert self.num_rounds() >= 1, "FRI needs at least one round"
+
+    def num_rounds(self) -> int:
+        codeword_length = self.domain.length
+        num = 0
+        while codeword_length > self.expansion_factor:
+            codeword_length //= 2
+            num += 1
+        return num
+
+    # -- prover -------------------------------------------------------------
+
+    def commit(self, codeword: np.ndarray, proof_stream: ProofStream):
+        """codeword: (N, 3) u64. Returns (codewords, trees)."""
+        offset = self.domain.offset
+        omega = self.domain.omega
+        trees: List[Merkle] = []
+        codewords: List[np.ndarray] = []
+        two_inv = f.h_inverse(2)
+
+        for r in range(self.num_rounds()):
+            N = codeword.shape[0]
+            leaves = [encode_leaf(_xleaf(codeword[i])) for i in range(N)]
+            tree = Merkle(leaves)
+            if r > 0:
+                proof_stream.push(tree.root())
+            if r == self.num_rounds() - 1:
+                break
+
+            alpha = xf.h_sample(proof_stream.prover_fiat_shamir())
+            codewords.append(codeword)
+            trees.append(tree)
+
+            # fold: new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
+            half = N // 2
+            xs = f.mul(
+                f.powers(omega, half, np), np.asarray(offset, dtype=U64), np
+            )
+            inv_xs = f.batch_inverse(xs, np)  # (half,)
+            a_over_x = xf.mul_base(
+                np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),
+                inv_xs, np,
+            )
+            one = xf.ones((half,), np)
+            lo = xf.mul(xf.add(one, a_over_x, np), codeword[:half], np)
+            hi = xf.mul(xf.sub(one, a_over_x, np), codeword[half:], np)
+            codeword = f.mul(
+                xf.add(lo, hi, np), np.asarray(two_inv, dtype=U64), np
+            )
+
+            omega = f.h_mul(omega, omega)
+            offset = f.h_mul(offset, offset)
+
+        proof_stream.push([_xleaf(row) for row in codeword])
+        codewords.append(codeword)
+        return codewords, trees
+
+    def query(
+        self,
+        current_tree: Merkle,
+        next_tree: Merkle,
+        current_codeword: np.ndarray,
+        next_codeword: np.ndarray,
+        c_indices: List[int],
+        proof_stream: ProofStream,
+    ):
+        a_indices = list(c_indices)
+        b_indices = [i + current_codeword.shape[0] // 2 for i in c_indices]
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(
+                (
+                    _xleaf(current_codeword[a_indices[s]]),
+                    _xleaf(current_codeword[b_indices[s]]),
+                    _xleaf(next_codeword[c_indices[s]]),
+                )
+            )
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(current_tree.open(a_indices[s]))
+            proof_stream.push(current_tree.open(b_indices[s]))
+            proof_stream.push(next_tree.open(c_indices[s]))
+
+    def query_last(
+        self,
+        current_tree: Merkle,
+        current_codeword: np.ndarray,
+        last_codeword: np.ndarray,
+        c_indices: List[int],
+        proof_stream: ProofStream,
+    ):
+        a_indices = list(c_indices)
+        b_indices = [i + current_codeword.shape[0] // 2 for i in c_indices]
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(
+                (
+                    _xleaf(current_codeword[a_indices[s]]),
+                    _xleaf(current_codeword[b_indices[s]]),
+                    _xleaf(last_codeword[c_indices[s]]),
+                )
+            )
+        for s in range(self.num_colinearity_tests):
+            proof_stream.push(current_tree.open(a_indices[s]))
+            proof_stream.push(current_tree.open(b_indices[s]))
+
+    def prove(self, codeword: np.ndarray, proof_stream: ProofStream) -> List[int]:
+        assert self.domain.length == codeword.shape[0]
+        codewords, trees = self.commit(codeword, proof_stream)
+
+        top_level_indices = sample_indices_fri(
+            proof_stream.prover_fiat_shamir(),
+            codewords[1].shape[0] if len(codewords) > 1 else codewords[0].shape[0],
+            codewords[-1].shape[0],
+            self.num_colinearity_tests,
+        )
+        indices = list(top_level_indices)
+
+        for i in range(len(trees) - 1):
+            indices = [idx % (codewords[i].shape[0] // 2) for idx in indices]
+            self.query(
+                trees[i], trees[i + 1], codewords[i], codewords[i + 1],
+                indices, proof_stream,
+            )
+        indices = [idx % codewords[-1].shape[0] for idx in indices]
+        self.query_last(
+            trees[-1], codewords[len(trees) - 1], codewords[-1], indices,
+            proof_stream,
+        )
+        return top_level_indices
+
+    # -- verifier -----------------------------------------------------------
+
+    def verify(self, proof_stream: ProofStream, root: bytes) -> bool:
+        omega = self.domain.omega
+        offset = self.domain.offset
+
+        roots = [root]
+        alphas = []
+        for r in range(self.num_rounds()):
+            if r > 0:
+                roots.append(proof_stream.pull())
+            alphas.append(xf.h_sample(proof_stream.verifier_fiat_shamir()))
+
+        last_codeword = proof_stream.pull()
+        last_arr = np.asarray(last_codeword, dtype=U64)
+        leaves = [encode_leaf(tuple(int(v) for v in row)) for row in last_arr]
+        if roots[-1] != Merkle(leaves).root():
+            return False  # last codeword does not match its root
+
+        # low-degree check of the last codeword via coset INTT
+        degree = (len(last_codeword) // self.expansion_factor) - 1
+        last_omega, last_offset = omega, offset
+        for _ in range(self.num_rounds() - 1):
+            last_omega = f.h_mul(last_omega, last_omega)
+            last_offset = f.h_mul(last_offset, last_offset)
+        assert f.h_pow(last_omega, len(last_codeword)) == 1
+        coeffs = FriDomain(last_offset, last_omega, len(last_codeword)).xinterpolate(
+            last_arr, np
+        )
+        if np.any(coeffs[degree + 1 :] != 0):
+            return False  # last codeword exceeds the degree bound
+
+        top_level_indices = sample_indices_fri(
+            proof_stream.verifier_fiat_shamir(),
+            self.domain.length >> 1,
+            self.domain.length >> (self.num_rounds() - 1),
+            self.num_colinearity_tests,
+        )
+
+        for r in range(self.num_rounds() - 1):
+            c_indices = [
+                idx % (self.domain.length >> (r + 1)) for idx in top_level_indices
+            ]
+            a_indices = list(c_indices)
+            b_indices = [
+                idx + (self.domain.length >> (r + 1)) for idx in a_indices
+            ]
+
+            aa, bb, cc = [], [], []
+            for s in range(self.num_colinearity_tests):
+                ay, by, cy = proof_stream.pull()
+                ay, by, cy = tuple(ay), tuple(by), tuple(cy)
+                aa.append(ay)
+                bb.append(by)
+                cc.append(cy)
+                ax = f.h_mul(offset, f.h_pow(omega, a_indices[s]))
+                bx = f.h_mul(offset, f.h_pow(omega, b_indices[s]))
+                if not _colinear(ax, ay, bx, by, alphas[r], cy):
+                    return False  # colinearity check failure
+
+            for s in range(self.num_colinearity_tests):
+                path = proof_stream.pull()
+                if not Merkle.verify(
+                    roots[r], a_indices[s], path, encode_leaf(aa[s])
+                ):
+                    return False
+                path = proof_stream.pull()
+                if not Merkle.verify(
+                    roots[r], b_indices[s], path, encode_leaf(bb[s])
+                ):
+                    return False
+                if r + 1 != self.num_rounds() - 1:
+                    path = proof_stream.pull()
+                    if not Merkle.verify(
+                        roots[r + 1], c_indices[s], path, encode_leaf(cc[s])
+                    ):
+                        return False
+
+            if r + 1 == self.num_rounds() - 1:
+                for s in range(self.num_colinearity_tests):
+                    if list(cc[s]) != [int(v) for v in last_codeword[c_indices[s]]]:
+                        return False  # last-round leaf mismatch
+
+            omega = f.h_mul(omega, omega)
+            offset = f.h_mul(offset, offset)
+
+        return True
+
+
+def _colinear(ax: int, ay: tuple, bx: int, by: tuple, cx: tuple, cy: tuple) -> bool:
+    """Check (cx, cy) lies on the line through (ax, ay), (bx, by); ax/bx are
+    base-field, the rest extension (ref univariate.py:190-194 semantics)."""
+    dx_inv = xf.h_from_base(f.h_inverse(f.h_sub(bx, ax)))
+    slope = xf.h_mul(xf.h_sub(by, ay), dx_inv)
+    expected = xf.h_add(
+        ay, xf.h_mul(slope, xf.h_sub(cx, xf.h_from_base(ax)))
+    )
+    return expected == cy

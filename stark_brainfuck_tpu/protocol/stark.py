@@ -1,0 +1,655 @@
+"""BrainfuckStark: the two-stage RAP prover/verifier orchestration.
+
+Protocol flow and transcript order match ref `brainfuck_stark.py:20-579`
+exactly (base commit → challenges → extend → ext commit → quotients →
+terminals → weights → combination commit → indices → openings → FRI);
+the computation is reorganized TPU-first:
+
+  - all codeword-scale math (LDE NTTs, extension scans, constraint
+    evaluation, zerofier inversion, nonlinear combination) runs as
+    vectorized u64 kernels on the `xp` backend (jax.numpy on device,
+    numpy for host/oracle runs);
+  - the verifier recomputes quotients with the same constraint builders
+    over small numpy batches (one lane per query index);
+  - hashing/transcript work stays host-side.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..config import StarkConfig
+from ..models.instruction import InstructionTable
+from ..models.interp import ArrayAlgebra, AVal
+from ..models.io import InputTable, OutputTable
+from ..models.memory import MemoryTable
+from ..models.processor import ProcessorTable
+from ..models.table import roundup_npo2
+from ..ops import field as f
+from ..ops import xfield as xf
+from ..utils.rng import Rng
+from .arguments import (
+    PermutationArgument,
+    evaluation_terminal,
+    program_evaluation_terminal,
+)
+from .channel import (
+    ProofStream,
+    encode_leaf,
+    sample_indices_stark,
+    sample_weights,
+)
+from .fri import Fri, FriDomain
+from .merkle import Merkle, SaltedMerkle
+
+U64 = np.uint64
+
+
+class BrainfuckStark:
+    def __init__(
+        self,
+        running_time: int,
+        memory_length: int,
+        program: List[int],
+        input_symbols: str,
+        output_symbols: str,
+        config: Optional[StarkConfig] = None,
+    ):
+        self.config = (config or StarkConfig()).validate()
+        cfg = self.config
+        self.running_time = running_time
+        self.memory_length = memory_length
+        self.program = list(program)
+        self.input_symbols = input_symbols
+        self.output_symbols = output_symbols
+
+        nr = cfg.num_randomizers
+        self.processor_table = ProcessorTable(running_time, nr)
+        self.instruction_table = InstructionTable(running_time + len(program), nr)
+        self.memory_table = MemoryTable(memory_length, nr)
+        self.input_table = InputTable(len(input_symbols))
+        self.output_table = OutputTable(len(output_symbols))
+        self.tables = [
+            self.processor_table,
+            self.instruction_table,
+            self.memory_table,
+            self.input_table,
+            self.output_table,
+        ]
+
+        # permutation arguments: (table, column) pairs into the extended
+        # column layout (ref brainfuck_stark.py:67-72)
+        self.permutation_arguments = [
+            PermutationArgument(self.tables, (0, 7), (1, 3)),
+            PermutationArgument(self.tables, (0, 8), (2, 4)),
+        ]
+
+        # max symbolic quotient degree over all ext transition constraints
+        # with all-one challenges (ref brainfuck_stark.py:85-97)
+        ones = [xf.H_ONE] * 11
+        self.max_degree = 1
+        for table in self.tables:
+            bounds = [table.interpolant_degree()] * (2 * table.full_width)
+            for air in table.symbolic_transition_constraints(ones):
+                degree = air.symbolic_degree_bound(bounds) - (table.height - 1)
+                self.max_degree = max(self.max_degree, degree)
+        self.max_degree = roundup_npo2(self.max_degree) - 1
+        fri_domain_length = (self.max_degree + 1) * cfg.expansion_factor
+
+        self.fri = Fri(
+            f.GENERATOR,
+            f.primitive_nth_root(fri_domain_length),
+            fri_domain_length,
+            cfg.expansion_factor,
+            cfg.num_colinearity_checks,
+        )
+
+    # ------------------------------------------------------------------
+
+    def _terminals_list(self) -> List[tuple]:
+        return [
+            self.processor_table.terminals["instruction_permutation"],
+            self.processor_table.terminals["memory_permutation"],
+            self.processor_table.terminals["input_evaluation"],
+            self.processor_table.terminals["output_evaluation"],
+            self.instruction_table.terminals["evaluation"],
+        ]
+
+    def _base_degree_bounds(self) -> List[int]:
+        out = []
+        for t in self.tables:
+            out += [t.interpolant_degree()] * t.base_width
+        return out
+
+    def _ext_degree_bounds(self) -> List[int]:
+        out = []
+        for t in self.tables:
+            out += [t.interpolant_degree()] * t.num_ext_columns
+        return out
+
+    def _zerofier_inverses(self, xp) -> Dict[int, Dict[str, object]]:
+        """Per-table-height zerofier-inverse tensors over the FRI domain.
+
+        boundary: 1/(x - 1); transition: (x - o^{-1})/(x^H - 1) (all-zero
+        when H == 0, reproducing ref table.py:196-199); terminal:
+        1/(x - o^{-1})."""
+        N = self.fri.domain.length
+        domain = self.fri.domain.array(xp)
+        one = xp.asarray(1, dtype=xp.uint64)
+        boundary = f.batch_inverse(f.sub(domain, one, xp), xp)
+        out: Dict[int, Dict[str, object]] = {}
+        for t in self.tables:
+            if t.height in out:
+                continue
+            o_inv = f.h_inverse(t.omicron) if t.height > 0 else 1
+            x_minus_oinv = f.sub(domain, xp.asarray(o_inv, dtype=xp.uint64), xp)
+            terminal = f.batch_inverse(x_minus_oinv, xp)
+            if t.height > 0:
+                # x^H over the coset has period N/H: tile a small table
+                omega_h = f.h_pow(self.fri.domain.omega, t.height)
+                offset_h = f.h_pow(self.fri.domain.offset, t.height)
+                period = N // t.height if t.height <= N else 1
+                xs = f.mul(
+                    f.powers(omega_h, period, np),
+                    np.asarray(offset_h, dtype=U64),
+                    np,
+                )
+                x_pow_h = xp.asarray(np.tile(xs, N // period))
+                subgroup_inv = f.batch_inverse(f.sub(x_pow_h, one, xp), xp)
+                transition = f.mul(subgroup_inv, x_minus_oinv, xp)
+            else:
+                transition = xp.zeros((N,), dtype=xp.uint64)
+            out[t.height] = {
+                "boundary": boundary,
+                "transition": transition,
+                "terminal": terminal,
+            }
+        return out
+
+    def _shift_array(self, shift: int, cache: Dict[int, object], xp):
+        """x^shift over the FRI domain, via a gather into the omega power
+        table: (g·ω^i)^s = g^s · ω^((i·s) mod N)."""
+        if shift in cache:
+            return cache[shift]
+        N = self.fri.domain.length
+        if not hasattr(self, "_omega_powers") or self._omega_powers_xp is not xp:
+            self._omega_powers = f.powers(self.fri.domain.omega, N, xp)
+            self._omega_powers_xp = xp
+        idx = (np.arange(N, dtype=np.int64) * (shift % N)) % N
+        arr = self._omega_powers[xp.asarray(idx)]
+        arr = f.mul(
+            arr,
+            xp.asarray(f.h_pow(self.fri.domain.offset, shift), dtype=xp.uint64),
+            xp,
+        )
+        cache[shift] = arr
+        return arr
+
+    # ------------------------------------------------------------------
+    # prover
+    # ------------------------------------------------------------------
+
+    def prove(
+        self,
+        processor_matrix: np.ndarray,
+        memory_matrix: np.ndarray,
+        instruction_matrix: np.ndarray,
+        input_matrix: np.ndarray,
+        output_matrix: np.ndarray,
+        proof_stream: Optional[ProofStream] = None,
+        xp=None,
+    ) -> bytes:
+        if xp is None:
+            import jax.numpy as xp
+        cfg = self.config
+        rng = Rng(cfg.seed)
+        fri = self.fri
+        N = fri.domain.length
+
+        # 1. populate and pad (ref brainfuck_stark.py:139-150)
+        assert len(processor_matrix) + len(self.program) == len(instruction_matrix)
+        matrices = [
+            processor_matrix, instruction_matrix, memory_matrix,
+            input_matrix, output_matrix,
+        ]
+        for t, m in zip(self.tables, matrices):
+            t.matrix = np.asarray(m, dtype=U64).reshape(-1, t.base_width)
+            if len(t.matrix) > 0:
+                t.pad()
+
+        if proof_stream is None:
+            proof_stream = ProofStream()
+
+        # 2. randomizer polynomial over the full FRI domain (ref :164-169)
+        randomizer_coeffs = rng.x_elements((self.max_degree + 1,), chunk=9)
+        randomizer_codeword = fri.domain.xevaluate(xp.asarray(randomizer_coeffs), xp)
+
+        # 3. base LDE (ref :171-176)
+        base_codewords_per_table = []
+        for t in self.tables:
+            r = (
+                xp.asarray(rng.base_elements((t.base_width, t.num_randomizers)))
+                if t.num_randomizers > 0 and t.height > 0
+                else None
+            )
+            base_codewords_per_table.append(
+                t.base_codewords(fri.domain.offset, fri.domain.omega, N, r, xp)
+            )
+
+        # 4. salted commitment to zipped base codewords (ref :178-180)
+        base_host = [np.asarray(cw) for cw in base_codewords_per_table]
+        rand_host = np.asarray(randomizer_codeword)
+        zipped_base = np.concatenate(
+            [rand_host] + [cw.T for cw in base_host], axis=1
+        )  # (N, 3 + num_base_columns) u64
+        base_leaf_bytes = _rows_to_leaf_bytes(zipped_base)
+        base_salts = rng.salts(N)
+        base_tree = SaltedMerkle(base_leaf_bytes, base_salts)
+        proof_stream.push(base_tree.root())
+
+        # 5. challenges (ref :183-184)
+        challenges_h = sample_weights(11, proof_stream.prover_fiat_shamir())
+
+        # 6. secret initials for the two permutation arguments (ref :186-187)
+        initials_h = [rng.x_element(chunk=8) for _ in range(2)]
+
+        # 7. extend tables (ref :189-190)
+        for t in self.tables:
+            t.extend(challenges_h, initials_h, xp)
+        terminals_h = self._terminals_list()
+
+        # 8. extension LDE + salted commitment (ref :194-199)
+        ext_codewords_per_table = []
+        for t in self.tables:
+            r = (
+                xp.asarray(rng.x_elements((t.num_ext_columns, t.num_randomizers)))
+                if t.num_randomizers > 0 and t.height > 0
+                else None
+            )
+            ext_codewords_per_table.append(
+                t.ext_codewords(fri.domain.offset, fri.domain.omega, N, r, xp)
+            )
+        ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
+        zipped_ext = np.concatenate(
+            [cw.transpose(1, 0, 2).reshape(N, -1) for cw in ext_host], axis=1
+        )  # (N, 9*3)
+        ext_leaf_bytes = _rows_to_leaf_bytes(zipped_ext)
+        ext_salts = rng.salts(N)
+        ext_tree = SaltedMerkle(ext_leaf_bytes, ext_salts)
+        proof_stream.push(ext_tree.root())
+
+        # 9. quotients (ref :204-218)
+        alg = ArrayAlgebra(xp)
+        ch_vals = [alg.x(xp.asarray(c, dtype=xp.uint64)) for c in challenges_h]
+        tm_vals = [alg.x(xp.asarray(t_, dtype=xp.uint64)) for t_ in terminals_h]
+        zinv = self._zerofier_inverses(xp)
+
+        quotient_codewords = []
+        quotient_degree_bounds = []
+        for t, base_cw, ext_cw in zip(
+            self.tables, base_codewords_per_table, ext_codewords_per_table
+        ):
+            ud = t.unit_distance(N)
+            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+            point_next = [
+                alg.base(xp.roll(base_cw[j], -ud, axis=0))
+                for j in range(t.base_width)
+            ]
+            point_next += [
+                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
+                for j in range(t.num_ext_columns)
+            ]
+            quotient_codewords += t.quotients(
+                alg, point, point_next, ch_vals, tm_vals, zinv[t.height]
+            )
+            quotient_degree_bounds += t.all_quotient_degree_bounds(
+                challenges_h, terminals_h
+            )
+
+        # permutation-argument difference quotients (ref :216-218)
+        ext_col_lookup = {
+            (0, 7): ext_codewords_per_table[0][0],
+            (0, 8): ext_codewords_per_table[0][1],
+            (1, 3): ext_codewords_per_table[1][0],
+            (2, 4): ext_codewords_per_table[2][0],
+        }
+        boundary_zinv = zinv[self.tables[0].height]["boundary"]
+        for pa in self.permutation_arguments:
+            diff = xf.sub(ext_col_lookup[pa.lhs], ext_col_lookup[pa.rhs], xp)
+            quotient_codewords.append(xf.mul_base(diff, boundary_zinv, xp))
+            quotient_degree_bounds.append(pa.quotient_degree_bound())
+
+        # 10. terminals into the transcript (ref :220-221)
+        for t_ in terminals_h:
+            proof_stream.push(t_)
+
+        # 11. weights (ref :226-238)
+        num_base = sum(t.base_width for t in self.tables)
+        num_ext = sum(t.num_ext_columns for t in self.tables)
+        num_quot = len(quotient_codewords)
+        weights_h = sample_weights(
+            1 + 2 * (num_base + num_ext + num_quot),
+            proof_stream.prover_fiat_shamir(),
+        )
+
+        # 12. nonlinear combination (ref :240-298)
+        shift_cache: Dict[int, object] = {}
+        acc = xp.zeros((N, 3), dtype=xp.uint64)
+        widx = 0
+
+        def w():
+            nonlocal widx
+            val = xp.asarray(weights_h[widx], dtype=xp.uint64)
+            widx += 1
+            return val
+
+        acc = xf.add(
+            acc,
+            xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), randomizer_codeword, xp),
+            xp,
+        )
+        base_bounds = self._base_degree_bounds()
+        flat_base = [cw[j] for cw in base_codewords_per_table for j in range(cw.shape[0])]
+        for cw, bound in zip(flat_base, base_bounds):
+            shift = self.max_degree - bound
+            acc = xf.add(
+                acc,
+                xf.mul_base(xp.broadcast_to(w()[None, :], (N, 3)), cw, xp),
+                xp,
+            )
+            shifted = f.mul(cw, self._shift_array(shift, shift_cache, xp), xp)
+            acc = xf.add(
+                acc,
+                xf.mul_base(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp),
+                xp,
+            )
+        ext_bounds = self._ext_degree_bounds()
+        flat_ext = [cw[j] for cw in ext_codewords_per_table for j in range(cw.shape[0])]
+        for cw, bound in zip(flat_ext, ext_bounds):
+            shift = self.max_degree - bound
+            acc = xf.add(
+                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), cw, xp), xp
+            )
+            shifted = xf.mul_base(cw, self._shift_array(shift, shift_cache, xp), xp)
+            acc = xf.add(
+                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp), xp
+            )
+        for q, bound in zip(quotient_codewords, quotient_degree_bounds):
+            shift = self.max_degree - bound
+            acc = xf.add(
+                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), q, xp), xp
+            )
+            shifted = xf.mul_base(q, self._shift_array(shift, shift_cache, xp), xp)
+            acc = xf.add(
+                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp), xp
+            )
+        assert widx == len(weights_h)
+        combination = np.asarray(acc)  # (N, 3) host
+
+        # 13. commit to the combination codeword (ref :301-302)
+        comb_leaves = [encode_leaf(tuple(int(v) for v in row)) for row in combination]
+        combination_tree = Merkle(comb_leaves)
+        proof_stream.push(combination_tree.root())
+
+        # 14. query indices (ref :305-307)
+        indices = sample_indices_stark(
+            cfg.security_level, proof_stream.prover_fiat_shamir(), N
+        )
+
+        unit_distances = [t.unit_distance(N) for t in self.tables]
+        unit_distances = list(set(unit_distances))
+
+        # 15. open zipped base/ext leaves (ref :313-326)
+        for index in indices:
+            for distance in [0] + unit_distances:
+                idx = (index + distance) % N
+                element = _row_to_leaf_object(zipped_base[idx], [3] + [1] * (
+                    zipped_base.shape[1] - 3
+                ))
+                salt, path = base_tree.open(idx)
+                proof_stream.push(element)
+                proof_stream.push((salt, path))
+
+                ext_element = _row_to_leaf_object(
+                    zipped_ext[idx], [3] * (zipped_ext.shape[1] // 3)
+                )
+                proof_stream.push(ext_element)
+                proof_stream.push(ext_tree.open(idx))
+
+        # 16. open combination codeword (ref :329-333)
+        for index in indices:
+            proof_stream.push(tuple(int(v) for v in combination[index]))
+            proof_stream.push(combination_tree.open(index))
+
+        # 17. FRI (ref :336)
+        self.fri.prove(combination, proof_stream)
+
+        return proof_stream.serialize()
+
+    # ------------------------------------------------------------------
+    # verifier
+    # ------------------------------------------------------------------
+
+    def verify(self, proof: bytes, proof_stream: Optional[ProofStream] = None) -> bool:
+        cfg = self.config
+        fri = self.fri
+        N = fri.domain.length
+        proof_stream = ProofStream.deserialize(proof)
+
+        base_root = proof_stream.pull()
+        challenges_h = sample_weights(11, proof_stream.verifier_fiat_shamir())
+        ext_root = proof_stream.pull()
+
+        terminals_h = [tuple(proof_stream.pull()) for _ in range(5)]
+
+        base_degree_bounds = self._base_degree_bounds()
+        ext_degree_bounds = self._ext_degree_bounds()
+
+        num_base = sum(t.base_width for t in self.tables)
+        num_ext = sum(t.num_ext_columns for t in self.tables)
+        num_quot = sum(
+            t.num_quotients(challenges_h, terminals_h) for t in self.tables
+        )
+        num_diff = len(self.permutation_arguments)
+
+        weights_h = sample_weights(
+            1 + 2 * num_base + 2 * num_ext + 2 * num_quot + 2 * num_diff,
+            proof_stream.verifier_fiat_shamir(),
+        )
+
+        combination_root = proof_stream.pull()
+
+        indices = sample_indices_stark(
+            cfg.security_level, proof_stream.verifier_fiat_shamir(), N
+        )
+
+        unit_distances = [t.unit_distance(N) for t in self.tables]
+        unit_distances = list(set(unit_distances))
+
+        # -- pull & check salted openings (ref :421-440) --------------------
+        tuples: Dict[int, list] = {}
+        for index in indices:
+            for distance in [0] + unit_distances:
+                idx = (index + distance) % N
+                element = proof_stream.pull()
+                salt, path = proof_stream.pull()
+                if not SaltedMerkle.verify(
+                    base_root, idx, salt, path, encode_leaf(element)
+                ):
+                    return False
+                row = [tuple(element[0])] + [int(e) for e in element[1:]]
+                tuples[idx] = row
+
+                element = proof_stream.pull()
+                salt, path = proof_stream.pull()
+                if not SaltedMerkle.verify(
+                    ext_root, idx, salt, path, encode_leaf(element)
+                ):
+                    return False
+                tuples[idx] = tuples[idx] + [tuple(e) for e in element]
+
+        # -- recompute the combination at each index (ref :445-569) ---------
+        for index in indices:
+            row = tuples[index]
+            terms: List[tuple] = [row[0]]  # randomizer
+            x_i = fri.domain(index)
+            for i in range(num_base):
+                val = row[1 + i]
+                terms.append(xf.h_from_base(val))
+                shift = self.max_degree - base_degree_bounds[i]
+                terms.append(
+                    xf.h_from_base(f.h_mul(val, f.h_pow(x_i, shift)))
+                )
+            ext_offset = 1 + num_base
+            for i in range(num_ext):
+                val = row[ext_offset + i]
+                terms.append(val)
+                shift = self.max_degree - ext_degree_bounds[i]
+                terms.append(xf.h_mul(val, xf.h_from_base(f.h_pow(x_i, shift))))
+
+            # per-table points (base + ext columns)
+            points = []
+            acc_base = 1
+            acc_ext = ext_offset
+            for t in self.tables:
+                pt = [xf.h_from_base(v) for v in row[acc_base : acc_base + t.base_width]]
+                pt += row[acc_ext : acc_ext + t.num_ext_columns]
+                points.append(pt)
+                acc_base += t.base_width
+                acc_ext += t.num_ext_columns
+
+            acc_base = 1
+            acc_ext = ext_offset
+            for t, point in zip(self.tables, points):
+                # boundary quotients
+                b_constraints = t.symbolic_boundary_constraints(challenges_h)
+                b_bounds = t.boundary_quotient_degree_bounds(challenges_h)
+                inv_xm1 = xf.h_from_base(f.h_inverse(f.h_sub(x_i, 1)))
+                for cstr, bound in zip(b_constraints, b_bounds):
+                    q = xf.h_mul(cstr.evaluate(point), inv_xm1)
+                    terms.append(q)
+                    shift = self.max_degree - bound
+                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
+
+                # transition quotients (need the shifted-row point)
+                ud = t.unit_distance(N)
+                next_index = (index + ud) % N
+                nrow = tuples[next_index]
+                npt = [
+                    xf.h_from_base(v)
+                    for v in nrow[acc_base : acc_base + t.base_width]
+                ]
+                npt += nrow[acc_ext : acc_ext + t.num_ext_columns]
+                acc_base += t.base_width
+                acc_ext += t.num_ext_columns
+
+                t_constraints = t.symbolic_transition_constraints(challenges_h)
+                t_bounds = t.transition_quotient_degree_bounds(challenges_h)
+                for cstr, bound in zip(t_constraints, t_bounds):
+                    ev = cstr.evaluate(point + npt)
+                    if t.height == 0:
+                        q = xf.H_ZERO
+                    else:
+                        o_inv = f.h_inverse(t.omicron)
+                        num = f.h_sub(x_i, o_inv)
+                        den = f.h_inverse(
+                            f.h_sub(f.h_pow(x_i, t.height), 1)
+                        )
+                        q = xf.h_mul(ev, xf.h_from_base(f.h_mul(num, den)))
+                    terms.append(q)
+                    shift = self.max_degree - bound
+                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
+
+                # terminal quotients
+                tm_constraints = t.symbolic_terminal_constraints(
+                    challenges_h, terminals_h
+                )
+                tm_bounds = t.terminal_quotient_degree_bounds(
+                    challenges_h, terminals_h
+                )
+                o_inv = f.h_inverse(t.omicron) if t.height > 0 else 1
+                inv_xmo = xf.h_from_base(f.h_inverse(f.h_sub(x_i, o_inv)))
+                for cstr, bound in zip(tm_constraints, tm_bounds):
+                    q = xf.h_mul(cstr.evaluate(point), inv_xmo)
+                    terms.append(q)
+                    shift = self.max_degree - bound
+                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
+
+            # permutation-argument difference quotients (ref :540-547)
+            col_in_point = {(0, 7): 7, (0, 8): 8, (1, 3): 3, (2, 4): 4}
+            for pa in self.permutation_arguments:
+                lhs = points[pa.lhs[0]][col_in_point[pa.lhs]]
+                rhs = points[pa.rhs[0]][col_in_point[pa.rhs]]
+                q = xf.h_mul(
+                    xf.h_sub(lhs, rhs),
+                    xf.h_from_base(f.h_inverse(f.h_sub(x_i, 1))),
+                )
+                terms.append(q)
+                shift = self.max_degree - pa.quotient_degree_bound()
+                terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
+
+            assert len(terms) == len(weights_h), (
+                f"term count {len(terms)} != weight count {len(weights_h)}"
+            )
+            inner = xf.H_ZERO
+            for w_, t_ in zip(weights_h, terms):
+                inner = xf.h_add(inner, xf.h_mul(w_, t_))
+
+            combination_leaf = tuple(proof_stream.pull())
+            combination_path = proof_stream.pull()
+            if not Merkle.verify(
+                combination_root, index, combination_path,
+                encode_leaf(combination_leaf),
+            ):
+                return False
+            if combination_leaf != inner:
+                return False
+
+        # -- FRI (ref :572) --------------------------------------------------
+        if not self.fri.verify(proof_stream, combination_root):
+            return False
+
+        # -- evaluation arguments against public data (ref :575-577) --------
+        if terminals_h[2] != evaluation_terminal(
+            [ord(c) for c in self.input_symbols], challenges_h[8]
+        ):
+            return False
+        if terminals_h[3] != evaluation_terminal(
+            [ord(c) for c in self.output_symbols], challenges_h[9]
+        ):
+            return False
+        if terminals_h[4] != program_evaluation_terminal(
+            self.program,
+            challenges_h[0], challenges_h[1], challenges_h[2], challenges_h[10],
+        ):
+            return False
+
+        return True
+
+
+# ---------------------------------------------------------------------------
+
+
+def _rows_to_leaf_bytes(rows: np.ndarray) -> List[bytes]:
+    """(N, k) u64 -> N little-endian byte strings of length 8k."""
+    data = np.ascontiguousarray(rows.astype("<u8"))
+    raw = data.tobytes()
+    k = rows.shape[1] * 8
+    return [raw[i * k : (i + 1) * k] for i in range(rows.shape[0])]
+
+
+def _row_to_leaf_object(row: np.ndarray, widths: List[int]):
+    """Rebuild the tuple-structured leaf object ((c0,c1,c2) or int per
+    column) from a flat u64 row."""
+    out = []
+    pos = 0
+    for w in widths:
+        if w == 1:
+            out.append(int(row[pos]))
+        else:
+            out.append(tuple(int(v) for v in row[pos : pos + w]))
+        pos += w
+    return tuple(out)
