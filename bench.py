@@ -1,0 +1,115 @@
+"""Prover benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures steady-state end-to-end prover throughput (cycles proven per
+second, trace generation excluded, jit warmup excluded) on a synthetic
+counter workload of ~2^BENCH_LOG2_CYCLES cycles (default 14), on whatever
+device JAX_PLATFORMS selects (the driver runs this on real TPU).
+
+vs_baseline compares against the measured reference CPython prover
+(scripts/measure_reference.py -> reference_baseline.json). The reference is
+only feasible to run on tiny traces; its cycles/sec *falls* with trace
+length (superlinear symbolic evaluation), so using its small-trace number
+as the denominator is conservative in the reference's favor.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def counter_program(target_cycles: int) -> str:
+    """Two-level counter tuned so running time lands in
+    [target, 1.25*target)."""
+    from stark_brainfuck_tpu import VirtualMachine
+
+    b = 32
+    inner = "[->" + "+" * b + "[-]<]"
+    lo, hi = 1, 1
+    # exponential then binary search on the outer count
+    while True:
+        src = "+" * hi + inner
+        rt, _, _ = VirtualMachine.run(VirtualMachine.compile(src))
+        if rt >= target_cycles:
+            break
+        lo, hi = hi, hi * 2
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        rt, _, _ = VirtualMachine.run(VirtualMachine.compile("+" * mid + inner))
+        if rt >= target_cycles:
+            hi = mid
+        else:
+            lo = mid
+    return "+" * hi + inner
+
+
+def main():
+    log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "14"))
+    import numpy as np
+
+    from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+
+    src = counter_program(1 << log2)
+    program = VirtualMachine.compile(src)
+    t0 = time.time()
+    trace = VirtualMachine.simulate(program)
+    t_sim = time.time() - t0
+    cycles = int(trace["processor"].shape[0])
+
+    def build():
+        return BrainfuckStark(
+            trace["processor"].shape[0], trace["memory"].shape[0], program,
+            "", trace["output_data"], StarkConfig(seed=0),
+        )
+
+    bfs = build()
+    args = (
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"],
+    )
+    # warmup (jit compile) + correctness check
+    t0 = time.time()
+    proof = bfs.prove(*args)
+    t_warm = time.time() - t0
+    assert bfs.verify(proof), "benchmark proof failed to verify"
+
+    # steady-state measurement
+    best = None
+    for _ in range(2):
+        t0 = time.time()
+        bfs.prove(*args)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+
+    cps = cycles / best
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "reference_baseline.json")
+    vs_baseline = None
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path))
+        ref_cps = max(r["prover_cycles_per_sec"] for r in ref)
+        vs_baseline = cps / ref_cps
+
+    print(json.dumps({
+        "metric": f"prover_cycles_per_sec_2e{log2}",
+        "value": round(cps, 2),
+        "unit": "cycles/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+        "detail": {
+            "trace_cycles": cycles,
+            "fri_domain": bfs.fri.domain.length,
+            "prove_s": round(best, 3),
+            "warmup_prove_s": round(t_warm, 3),
+            "simulate_s": round(t_sim, 3),
+            "proof_bytes": len(proof),
+            "platform": os.environ.get("JAX_PLATFORMS", "default"),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,12 +112,12 @@ class InstructionTable(Table):
             v[EVALUATION] - terminals[4],
         ]
 
-    def extend(self, challenges, initials, xp):
-        a, b, c, d, e, f_, alpha, beta, gamma, delta, eta = [
-            xp.asarray(ch, dtype=xp.uint64) for ch in challenges
-        ]
-        init_ip = xp.asarray(initials[0], dtype=xp.uint64)
-        m = xp.asarray(self.matrix)
+    terminal_names = ("permutation", "evaluation")
+
+    def extend_pure(self, m, challenges, initials, xp):
+        a, b, c = challenges[0], challenges[1], challenges[2]
+        alpha, eta = challenges[6], challenges[10]
+        init_ip = initials[0]
         H = m.shape[0]
         addr, ci, ni = (m[:, i] for i in range(3))
         one = xf.ones((H,), xp)
@@ -151,9 +151,6 @@ class InstructionTable(Table):
         col_eval = sc.affine_scan(ms, bs, xp)
         term_eval = col_eval[-1] if H > 0 else xf.scalar(0, xp=xp)
 
-        self.xcolumns = xp.stack([col_perm, col_eval], axis=1)
-        self.terminals = {
-            "permutation": tuple(int(x) for x in np.asarray(term_perm)),
-            "evaluation": tuple(int(x) for x in np.asarray(term_eval)),
-        }
-        return self.xcolumns
+        cols = xp.stack([col_perm, col_eval], axis=1)
+        terms = xp.stack([term_perm, term_eval], axis=0)
+        return cols, terms

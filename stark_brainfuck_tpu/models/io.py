@@ -64,25 +64,25 @@ class IOTable(Table):
         offset = iota_h ** (self.height - self.length)
         return [v[EVALUATION] - terminals[self.terminal_index] * offset]
 
-    def extend(self, challenges, initials, xp):
-        iota = xp.asarray(challenges[self.challenge_index], dtype=xp.uint64)
-        m = xp.asarray(self.matrix)
+    terminal_names = ("evaluation",)
+
+    def extend_pure(self, m, challenges, initials, xp):
+        iota = challenges[self.challenge_index]
         H = m.shape[0]
         if H == 0:
-            self.xcolumns = xp.zeros((0, 1, 3), dtype=xp.uint64)
-            self.terminals = {"evaluation": xf.H_ZERO}
-            return self.xcolumns
+            return (
+                xp.zeros((0, 1, 3), dtype=xp.uint64),
+                xp.zeros((1, 3), dtype=xp.uint64),
+            )
         col = m[:, COLUMN]
         ms = xp.broadcast_to(iota[None, :], (H, 3))
         bs = xf.from_base(col, xp)
         ev = sc.affine_scan(ms, bs, xp)
-        self.xcolumns = ev[:, None, :]
         if self.length > 0:
-            terminal = tuple(int(x) for x in np.asarray(ev[self.length - 1]))
+            terminal = ev[self.length - 1]
         else:
-            terminal = xf.H_ZERO
-        self.terminals = {"evaluation": terminal}
-        return self.xcolumns
+            terminal = xp.zeros((3,), dtype=xp.uint64)
+        return ev[:, None, :], terminal[None, :]
 
 
 class InputTable(IOTable):

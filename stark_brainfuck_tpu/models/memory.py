@@ -92,12 +92,13 @@ class MemoryTable(Table):
             + (v[PERMUTATION] - perm) * v[DUMMY]
         ]
 
-    def extend(self, challenges, initials, xp):
-        _, _, _, d, e, f_, _, beta, _, _, _ = [
-            xp.asarray(ch, dtype=xp.uint64) for ch in challenges
-        ]
-        init_mp = xp.asarray(initials[1], dtype=xp.uint64)
-        m = xp.asarray(self.matrix)
+    terminal_names = ("permutation",)
+
+    def extend_pure(self, m, challenges, initials, xp):
+        d, e, f_, beta = (
+            challenges[3], challenges[4], challenges[5], challenges[7],
+        )
+        init_mp = initials[1]
         H = m.shape[0]
         clk, mp, mv, dummy = (m[:, i] for i in range(4))
         one = xf.ones((H,), xp)
@@ -111,9 +112,4 @@ class MemoryTable(Table):
         inc = sc.inclusive_prefix_mul(fac, xp)
         col = sc.exclusive_from_inclusive(inc, init_mp, xp)
         term = xf.mul(init_mp, inc[-1], xp)
-
-        self.xcolumns = col[:, None, :]
-        self.terminals = {
-            "permutation": tuple(int(x) for x in np.asarray(term)),
-        }
-        return self.xcolumns
+        return col[:, None, :], term[None, :]

@@ -103,10 +103,26 @@ def _base_transition(A, v):
      clk_n, ip_n, ci_n, ni_n, mp_n, mv_n, mvi_n) = v
     one = A.one()
 
+    # all eight deselectors share sub-products: with factors f_c = (ci - c)
+    # over the deselector order "[]<>,.+-", deselector(instr at i) =
+    # prefix[i] · suffix[i+1] — 16 muls instead of 8x6 (the polynomials are
+    # identical to ifnot_instruction's, just factored once)
+    DESEL_ORDER = "[]<>,.+-"
+    factors = [ci - A.const(ord(c)) for c in DESEL_ORDER]
+    n = len(factors)
+    prefix = [A.one()]
+    for fac in factors:
+        prefix.append(prefix[-1] * fac)
+    suffix = [A.one()]
+    for fac in reversed(factors):
+        suffix.append(suffix[-1] * fac)
+    suffix = suffix[::-1]  # suffix[i] = product of factors[i:]
+
     polys = [A.zero(), A.zero(), A.zero()]
     for instr in INSTRUCTIONS:
         specific = _instruction_polynomials(A, instr, v)
-        deselector = ifnot_instruction(A, instr, ci)
+        k = DESEL_ORDER.index(instr)
+        deselector = prefix[k] * suffix[k + 1]
         for i in range(3):
             polys[i] = polys[i] + deselector * specific[i]
 
@@ -213,12 +229,18 @@ class ProcessorTable(Table):
 
     # -- extension columns via parallel scans (ref :359-427) ---------------
 
-    def extend(self, challenges, initials, xp):
+    terminal_names = (
+        "instruction_permutation", "memory_permutation",
+        "input_evaluation", "output_evaluation",
+    )
+
+    def extend_pure(self, m, challenges, initials, xp):
+        """Pure/jittable: (H, 7) matrix + (11,3) challenges + (2,3) initials
+        -> ((H, 4, 3) extension columns, (4, 3) terminals)."""
         a, b, c, d, e, f_, alpha, beta, gamma, delta, eta = [
-            xp.asarray(ch, dtype=xp.uint64) for ch in challenges
+            challenges[i] for i in range(11)
         ]
-        init_ip, init_mp = [xp.asarray(i, dtype=xp.uint64) for i in initials]
-        m = xp.asarray(self.matrix)
+        init_ip, init_mp = initials[0], initials[1]
         H = m.shape[0]
         clk, ip, ci, ni, mp, mv = (m[:, i] for i in (CLK, IP, CI, NI, MP, MV))
         one = xf.ones((H,), xp)
@@ -266,11 +288,6 @@ class ProcessorTable(Table):
         col_out = xp.concatenate([xf.zeros((1,), xp), inc4[:-1]], axis=0)
         term_out = inc4[-1]
 
-        self.xcolumns = xp.stack([col_ip, col_mp, col_in, col_out], axis=1)
-        self.terminals = {
-            "instruction_permutation": tuple(int(x) for x in np.asarray(term_ip)),
-            "memory_permutation": tuple(int(x) for x in np.asarray(term_mp)),
-            "input_evaluation": tuple(int(x) for x in np.asarray(term_in)),
-            "output_evaluation": tuple(int(x) for x in np.asarray(term_out)),
-        }
-        return self.xcolumns
+        cols = xp.stack([col_ip, col_mp, col_in, col_out], axis=1)
+        terms = xp.stack([term_ip, term_mp, term_in, term_out], axis=0)
+        return cols, terms

@@ -97,10 +97,28 @@ class Table:
     def pad(self):
         raise NotImplementedError
 
-    def extend(self, challenges, initials, xp):
-        """Compute extension columns; returns and stores (H, n_ext, 3) and
-        sets self.terminals (table-specific dict of host 3-tuples)."""
+    terminal_names: tuple = ()
+
+    def extend_pure(self, matrix, challenges, initials, xp):
+        """Pure/jittable extension-column computation.
+
+        matrix: (H, base_width) u64; challenges: (11, 3); initials: (2, 3).
+        Returns ((H, n_ext, 3) columns, (n_terminals, 3) terminals)."""
         raise NotImplementedError
+
+    def extend(self, challenges, initials, xp):
+        """Convenience wrapper: runs extend_pure, stores xcolumns, and
+        converts terminals to host tuples keyed by terminal_names."""
+        ch = xp.asarray(np.asarray(challenges, dtype=U64))
+        ini = xp.asarray(np.asarray(initials, dtype=U64))
+        cols, terms = self.extend_pure(xp.asarray(self.matrix), ch, ini, xp)
+        self.xcolumns = cols
+        terms = np.asarray(terms)
+        self.terminals = {
+            n: tuple(int(v) for v in terms[i])
+            for i, n in enumerate(self.terminal_names)
+        }
+        return self.xcolumns
 
     # -- symbolic instantiation --------------------------------------------
 
@@ -211,24 +229,31 @@ class Table:
 
     # -- LDE ----------------------------------------------------------------
 
-    def base_codewords(self, fri_offset, fri_root, fri_length, randomizers, xp):
-        """(base_width, fri_length) codewords of the randomized LDE."""
+    def base_codewords(
+        self, matrix, intt_pack, scale, fwd_pack, fri_length, randomizers, xp
+    ):
+        """(base_width, fri_length) codewords of the randomized LDE.
+        Pure/jittable given the (H, W) matrix array and precomputed
+        twiddle packs (see ops/ntt.TwiddlePack)."""
         if self.height == 0:
             return xp.zeros((self.base_width, fri_length), dtype=xp.uint64)
-        trace = xp.asarray(self.matrix).T  # (W, H)
-        return nt.lde_columns(
-            trace, randomizers, self.omicron, fri_offset, fri_root, fri_length, xp
+        trace = matrix.T  # (W, H)
+        return nt.lde_columns_with(
+            trace, randomizers, intt_pack, scale, fwd_pack, fri_length, xp
         )
 
-    def ext_codewords(self, fri_offset, fri_root, fri_length, randomizers, xp):
-        """(n_ext, fri_length, 3) codewords of the extension columns."""
+    def ext_codewords(
+        self, xcolumns, intt_pack, scale, fwd_pack, fri_length, randomizers, xp
+    ):
+        """(n_ext, fri_length, 3) codewords of the extension columns.
+        Pure/jittable given the (H, n_ext, 3) column array."""
         if self.height == 0:
             return xp.zeros(
                 (self.num_ext_columns, fri_length, 3), dtype=xp.uint64
             )
-        trace = xp.moveaxis(xp.asarray(self.xcolumns), 0, 1)  # (n_ext, H, 3)
-        return nt.lde_xcolumns(
-            trace, randomizers, self.omicron, fri_offset, fri_root, fri_length, xp
+        trace = xp.moveaxis(xcolumns, 0, 1)  # (n_ext, H, 3)
+        return nt.lde_xcolumns_with(
+            trace, randomizers, intt_pack, scale, fwd_pack, fri_length, xp
         )
 
     # -- quotient evaluation (device or host; alg picks the backend) --------

@@ -13,14 +13,17 @@ fast_interpolate (`ntt.py:4-42,126-161`) with:
     (`table.py:112-136`), but needs only one INTT + one NTT instead of a
     recursive divide-and-conquer interpolation per column.
 
-All twiddle/permutation tables are precomputed host-side (numpy) and cached
-per (n, root); the butterfly loops are Python-unrolled (log2(n) stages) so
-everything under jit has static shapes.
+Twiddle factors, bit-reversal permutations, and coset scale tables are
+precomputed host-side into a `TwiddlePack` and threaded through as *runtime
+arguments* — NOT captured as tracer constants. (Capturing an N-sized table
+as a jit constant makes XLA constant-fold limb arithmetic over it at
+compile time — minutes of compile for large N.)
 """
 
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -28,155 +31,182 @@ from . import field as f
 from .field import P, U64
 
 
+class TwiddlePack(NamedTuple):
+    """Host-precomputed tables for one (n, root) NTT: the bit-reversal
+    permutation and per-stage twiddle arrays."""
+
+    perm: object  # (n,) int32
+    stages: Tuple  # stage s (1-based): (2^(s-1),) u64 twiddles
+    n_inv: Optional[object] = None  # (1,) u64 — set for inverse transforms
+
+
 @lru_cache(maxsize=None)
 def _bitrev_permutation(n: int) -> np.ndarray:
     logn = n.bit_length() - 1
-    idx = np.arange(n, dtype=np.int64)
-    rev = np.zeros(n, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int32)
+    rev = np.zeros(n, dtype=np.int32)
     for b in range(logn):
         rev |= ((idx >> b) & 1) << (logn - 1 - b)
     return rev
 
 
 @lru_cache(maxsize=None)
-def _stage_twiddles(n: int, root: int) -> tuple:
-    """Per-stage twiddle tables for a size-n NTT with primitive root `root`.
-
-    Stage s (m = 2^s) needs [w_m^j for j < m/2] with w_m = root^(n/m) — a
+def _stage_twiddles_np(n: int, root: int) -> tuple:
+    """Stage s (m = 2^s) needs [w_m^j for j < m/2] with w_m = root^(n/m) — a
     strided slice of the full power table."""
     full = f.powers(root, max(n // 2, 1), np)
     tables = []
     logn = n.bit_length() - 1
     for s in range(1, logn + 1):
         m = 1 << s
-        tables.append(full[:: n // m][: m // 2].copy())
+        tables.append(np.ascontiguousarray(full[:: n // m][: m // 2]))
     return tuple(tables)
 
 
-def ntt(values, root: int, xp=np):
-    """Forward NTT along the last axis: out[k] = Σ_j v[j]·root^(jk).
+def make_pack(n: int, root: int, inverse: bool = False, xp=np) -> TwiddlePack:
+    """Build (and convert to the target backend) the twiddle pack for a
+    size-n transform."""
+    if n <= 1:
+        return TwiddlePack(
+            perm=xp.zeros((max(n, 1),), dtype=xp.int32), stages=(),
+            n_inv=xp.ones((1,), dtype=xp.uint64) if inverse else None,
+        )
+    r = f.h_inverse(root) if inverse else root
+    perm = _bitrev_permutation(n)
+    stages = _stage_twiddles_np(n, r)
+    n_inv = None
+    if inverse:
+        n_inv = np.asarray([f.h_inverse(n % P)], dtype=U64)
+    if xp is not np:
+        perm = xp.asarray(perm)
+        stages = tuple(xp.asarray(s) for s in stages)
+        n_inv = None if n_inv is None else xp.asarray(n_inv)
+    return TwiddlePack(perm=perm, stages=stages, n_inv=n_inv)
 
-    `values`: u64 array (..., n), n a power of two; `root` a primitive n-th
-    root of unity (python int). Matches ref `ntt.py:4-23` semantics."""
+
+def ntt_with(values, pack: TwiddlePack, xp=np):
+    """Transform along the last axis using a precomputed pack.
+    Forward: out[k] = Σ_j v[j]·root^(jk); if pack.n_inv is set the result is
+    scaled by it (inverse transform)."""
     n = values.shape[-1]
     if n <= 1:
         return values
-    assert n & (n - 1) == 0, "NTT length must be a power of two"
     shape = values.shape
     x = values.reshape((-1, n))
-    perm = _bitrev_permutation(n)
-    if xp is not np:
-        perm = xp.asarray(perm)
-    x = x[:, perm]
-    stage_tw = _stage_twiddles(n, root)
-    logn = n.bit_length() - 1
+    x = x[:, pack.perm]
     b = x.shape[0]
+    logn = n.bit_length() - 1
     for s in range(1, logn + 1):
         m = 1 << s
         half = m >> 1
-        tw = stage_tw[s - 1]
-        if xp is not np:
-            tw = xp.asarray(tw)
+        tw = pack.stages[s - 1]
         x = x.reshape((b, n // m, m))
         even = x[:, :, :half]
         odd = x[:, :, half:]
         t = f.mul(odd, tw[None, None, :], xp)
         x = xp.concatenate([f.add(even, t, xp), f.sub(even, t, xp)], axis=-1)
-    return x.reshape(shape)
+    x = x.reshape(shape)
+    if pack.n_inv is not None:
+        x = f.mul(x, pack.n_inv[0], xp)
+    return x
+
+
+# -- convenience wrappers (host-side / tests): root given as an int ---------
+
+
+def ntt(values, root: int, xp=np):
+    return ntt_with(values, make_pack(values.shape[-1], root, False, xp), xp)
 
 
 def intt(values, root: int, xp=np):
-    """Inverse NTT along the last axis (ref ntt.py:26-42)."""
-    n = values.shape[-1]
-    if n <= 1:
-        return values
-    out = ntt(values, f.h_inverse(root), xp)
-    n_inv = f.h_inverse(n % P)
-    if xp is np:
-        return f.mul(out, U64(n_inv), np)
-    return f.mul(out, xp.asarray(n_inv, dtype=xp.uint64), xp)
+    return ntt_with(values, make_pack(values.shape[-1], root, True, xp), xp)
 
 
-def scale_coefficients(coeffs, offset: int, xp=np):
-    """coeffs[i] *= offset^i — evaluate-on-coset shift (ref univariate scale)."""
-    n = coeffs.shape[-1]
-    tbl = f.powers(offset, n, np)
-    if xp is not np:
-        tbl = xp.asarray(tbl)
-    return f.mul(coeffs, tbl, xp)
+def scale_table(offset: int, count: int, xp=np):
+    """[offset^0 .. offset^(count-1)] for evaluate-on-coset shifts."""
+    return f.powers(offset, count, xp)
 
 
-def coset_evaluate(coeffs, offset: int, root: int, length: int, xp=np):
-    """Evaluate polynomials (coeff rows, (..., d)) on the coset
-    offset·⟨root⟩ of size `length` (ref ntt.py:164-168)."""
+def coset_evaluate_with(coeffs, scale, fwd_pack: TwiddlePack, length: int, xp=np):
+    """Evaluate polynomials (coeff rows (..., d)) on the coset of size
+    `length` using precomputed scale table (d,) and forward pack."""
     d = coeffs.shape[-1]
     assert d <= length
-    scaled = scale_coefficients(coeffs, offset, xp)
+    scaled = f.mul(coeffs, scale[: d], xp)
     if d < length:
         pad = xp.zeros(coeffs.shape[:-1] + (length - d,), dtype=xp.uint64)
         scaled = xp.concatenate([scaled, pad], axis=-1)
-    return ntt(scaled, root, xp)
+    return ntt_with(scaled, fwd_pack, xp)
+
+
+def coset_evaluate(coeffs, offset: int, root: int, length: int, xp=np):
+    return coset_evaluate_with(
+        coeffs, scale_table(offset, coeffs.shape[-1], xp),
+        make_pack(length, root, False, xp), length, xp,
+    )
 
 
 def coset_interpolate(values, offset: int, root: int, xp=np):
-    """Inverse of coset_evaluate (ref ntt.py:171-174)."""
-    coeffs = intt(values, root, xp)
-    return scale_coefficients(coeffs, f.h_inverse(offset), xp)
+    """Inverse of coset_evaluate (ref ntt.py:171-174). Host/test use."""
+    n = values.shape[-1]
+    coeffs = ntt_with(values, make_pack(n, root, True, xp), xp)
+    return f.mul(coeffs, scale_table(f.h_inverse(offset), n, xp), xp)
 
 
-def lde_columns(
-    trace,
-    randomizers,
-    omicron: int,
-    fri_offset: int,
-    fri_root: int,
-    fri_length: int,
-    xp=np,
+# -- randomized LDE ---------------------------------------------------------
+
+
+def lde_columns_with(
+    trace, randomizers, intt_pack: TwiddlePack, scale, fwd_pack: TwiddlePack,
+    fri_length: int, xp=np,
 ):
-    """Randomized low-degree extension of trace columns onto the FRI domain.
-
-    trace: (W, H) u64 — columns over the omicron subgroup ⟨omicron⟩, H = 2^k.
-    randomizers: (W, R) u64 random coefficients (R = num_randomizers), or None.
-
-    Returns (W, fri_length) codewords of
-        f_w(x) = interp_w(x) + (x^H - 1)·r_w(x),
-    which agrees with the trace on the omicron domain and has degree
-    ≤ H + R - 1 = the reference's interpolant_degree (`table.py:42-46`).
-    """
+    """Randomized LDE with precomputed packs: trace (W, H) over the omicron
+    subgroup -> (W, fri_length) codewords of
+        f(x) = trace_poly(x) + (x^H - 1)·r(x).
+    `scale`: offset powers table of length >= H + R."""
     W, H = trace.shape
-    coeffs = intt(trace, omicron, xp)
+    coeffs = ntt_with(trace, intt_pack, xp)
     if randomizers is not None and randomizers.shape[-1] > 0:
         R = randomizers.shape[-1]
         assert R <= H, "num_randomizers must not exceed the trace height"
-        # (x^H - 1)·r(x): adds +r_j at coeff H+j and -r_j at coeff j
         head = f.sub(coeffs[..., :R], randomizers, xp)
         coeffs = xp.concatenate([head, coeffs[..., R:], randomizers], axis=-1)
-    return coset_evaluate(coeffs, fri_offset, fri_root, fri_length, xp)
+    return coset_evaluate_with(coeffs, scale, fwd_pack, fri_length, xp)
 
 
-def lde_xcolumns(
-    trace,
-    randomizers,
-    omicron: int,
-    fri_offset: int,
-    fri_root: int,
-    fri_length: int,
-    xp=np,
+def lde_xcolumns_with(
+    trace, randomizers, intt_pack: TwiddlePack, scale, fwd_pack: TwiddlePack,
+    fri_length: int, xp=np,
 ):
-    """Extension-field variant: trace (W, H, 3) -> codewords (W, fri_length, 3).
-    The NTT treats the coefficient axis as a batch dim (move it to front)."""
+    """Extension-field variant: trace (W, H, 3) -> (W, fri_length, 3); the
+    coefficient axis rides along as a batch dim."""
     t = xp.moveaxis(trace, -1, 0)  # (3, W, H)
     r = None if randomizers is None else xp.moveaxis(randomizers, -1, 0)
-    if r is None:
-        out = lde_columns(
-            t.reshape((-1, t.shape[-1])), None, omicron, fri_offset, fri_root,
-            fri_length, xp,
-        )
-    else:
-        out = lde_columns(
-            t.reshape((-1, t.shape[-1])),
-            r.reshape((-1, r.shape[-1])),
-            omicron, fri_offset, fri_root, fri_length, xp,
-        )
+    flat_r = None if r is None else r.reshape((-1, r.shape[-1]))
+    out = lde_columns_with(
+        t.reshape((-1, t.shape[-1])), flat_r, intt_pack, scale, fwd_pack,
+        fri_length, xp,
+    )
     out = out.reshape((3,) + trace.shape[:-2] + (fri_length,))
     return xp.moveaxis(out, 0, -1)
+
+
+def lde_columns(trace, randomizers, omicron, fri_offset, fri_root, fri_length, xp=np):
+    """Convenience wrapper (tests / host paths)."""
+    H = trace.shape[-1]
+    R = 0 if randomizers is None else randomizers.shape[-1]
+    return lde_columns_with(
+        trace, randomizers, make_pack(H, omicron, True, xp),
+        scale_table(fri_offset, H + R, xp), make_pack(fri_length, fri_root, False, xp),
+        fri_length, xp,
+    )
+
+
+def lde_xcolumns(trace, randomizers, omicron, fri_offset, fri_root, fri_length, xp=np):
+    H = trace.shape[-2]
+    R = 0 if randomizers is None else randomizers.shape[-2]
+    return lde_xcolumns_with(
+        trace, randomizers, make_pack(H, omicron, True, xp),
+        scale_table(fri_offset, H + R, xp), make_pack(fri_length, fri_root, False, xp),
+        fri_length, xp,
+    )

@@ -134,58 +134,262 @@ class BrainfuckStark:
 
         boundary: 1/(x - 1); transition: (x - o^{-1})/(x^H - 1) (all-zero
         when H == 0, reproducing ref table.py:196-199); terminal:
-        1/(x - o^{-1})."""
+        1/(x - o^{-1}). Cached per backend on the instance — these depend
+        only on (heights, FRI domain)."""
+        key = "np" if xp is np else "jax"
+        cache = getattr(self, "_zinv_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        # compute on host numpy (vectorized C, no per-op dispatch), convert once
         N = self.fri.domain.length
-        domain = self.fri.domain.array(xp)
-        one = xp.asarray(1, dtype=xp.uint64)
-        boundary = f.batch_inverse(f.sub(domain, one, xp), xp)
+        domain = self.fri.domain.array(np)
+        one = np.asarray(1, dtype=U64)
+        boundary = f.batch_inverse(f.sub(domain, one, np), np)
         out: Dict[int, Dict[str, object]] = {}
         for t in self.tables:
             if t.height in out:
                 continue
             o_inv = f.h_inverse(t.omicron) if t.height > 0 else 1
-            x_minus_oinv = f.sub(domain, xp.asarray(o_inv, dtype=xp.uint64), xp)
-            terminal = f.batch_inverse(x_minus_oinv, xp)
+            x_minus_oinv = f.sub(domain, np.asarray(o_inv, dtype=U64), np)
+            terminal = f.batch_inverse(x_minus_oinv, np)
             if t.height > 0:
-                # x^H over the coset has period N/H: tile a small table
+                # x^H over the coset has period N/H: invert a small table
                 omega_h = f.h_pow(self.fri.domain.omega, t.height)
                 offset_h = f.h_pow(self.fri.domain.offset, t.height)
-                period = N // t.height if t.height <= N else 1
+                period = N // t.height
                 xs = f.mul(
                     f.powers(omega_h, period, np),
                     np.asarray(offset_h, dtype=U64),
                     np,
                 )
-                x_pow_h = xp.asarray(np.tile(xs, N // period))
-                subgroup_inv = f.batch_inverse(f.sub(x_pow_h, one, xp), xp)
-                transition = f.mul(subgroup_inv, x_minus_oinv, xp)
+                sub_inv_small = f.batch_inverse(f.sub(xs, one, np), np)
+                subgroup_inv = np.tile(sub_inv_small, N // period)
+                transition = f.mul(subgroup_inv, x_minus_oinv, np)
             else:
-                transition = xp.zeros((N,), dtype=xp.uint64)
+                transition = np.zeros((N,), dtype=U64)
             out[t.height] = {
                 "boundary": boundary,
                 "transition": transition,
                 "terminal": terminal,
             }
+        if xp is not np:
+            out = {
+                h: {k: xp.asarray(v) for k, v in d.items()}
+                for h, d in out.items()
+            }
+        self._zinv_cache = (key, out)
         return out
 
-    def _shift_array(self, shift: int, cache: Dict[int, object], xp):
-        """x^shift over the FRI domain, via a gather into the omega power
-        table: (g·ω^i)^s = g^s · ω^((i·s) mod N)."""
-        if shift in cache:
-            return cache[shift]
+    def _omega_power_table(self, xp):
+        key = "np" if xp is np else "jax"
+        cache = getattr(self, "_omega_cache", None)
+        if cache is None or cache[0] != key:
+            tbl = f.powers(self.fri.domain.omega, self.fri.domain.length, xp)
+            self._omega_cache = (key, tbl)
+        return self._omega_cache[1]
+
+    def _lde_packs(self, xp):
+        """Host-precomputed NTT twiddle/scale tables, passed into the jitted
+        stages as runtime arguments (embedding them as tracer constants
+        makes XLA constant-fold limb arithmetic over N-sized tables at
+        compile time). Cached per backend."""
+        from ..ops import ntt as nt
+
+        key = "np" if xp is np else "jax"
+        cache = getattr(self, "_packs_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+        fri = self.fri
+        N = fri.domain.length
+        packs = {
+            "fwd": nt.make_pack(N, fri.domain.omega, False, xp),
+            "rand_scale": nt.scale_table(fri.domain.offset, self.max_degree + 1, xp),
+            "tables": tuple(
+                (
+                    nt.make_pack(t.height, t.omicron, True, xp),
+                    nt.scale_table(
+                        fri.domain.offset, t.height + t.num_randomizers, xp
+                    ),
+                )
+                if t.height > 0
+                else None
+                for t in self.tables
+            ),
+        }
+        self._packs_cache = (key, packs)
+        return packs
+
+    # -- jittable prover stages ----------------------------------------
+
+    def _stage_base_lde(self, mats, rand_coeffs, base_rands, packs, xp):
+        """Randomizer codeword + per-table base codewords."""
+        from ..ops import ntt as nt
+
         N = self.fri.domain.length
-        if not hasattr(self, "_omega_powers") or self._omega_powers_xp is not xp:
-            self._omega_powers = f.powers(self.fri.domain.omega, N, xp)
-            self._omega_powers_xp = xp
-        idx = (np.arange(N, dtype=np.int64) * (shift % N)) % N
-        arr = self._omega_powers[xp.asarray(idx)]
-        arr = f.mul(
-            arr,
-            xp.asarray(f.h_pow(self.fri.domain.offset, shift), dtype=xp.uint64),
-            xp,
+        # randomizer polynomial evaluated over the coset (3 as batch dim)
+        rc = xp.moveaxis(rand_coeffs, -1, 0)  # (3, D)
+        rand_cw = xp.moveaxis(
+            nt.coset_evaluate_with(rc, packs["rand_scale"], packs["fwd"], N, xp),
+            0, -1,
         )
-        cache[shift] = arr
-        return arr
+        base_cws = tuple(
+            t.base_codewords(
+                m, packs["tables"][i][0] if packs["tables"][i] else None,
+                packs["tables"][i][1] if packs["tables"][i] else None,
+                packs["fwd"], N, r, xp,
+            )
+            for i, (t, m, r) in enumerate(zip(self.tables, mats, base_rands))
+        )
+        return rand_cw, base_cws
+
+    def _stage_extend_lde(self, mats, challenges, initials, ext_rands, packs, xp):
+        """Extension columns (parallel scans) + their codewords + terminals."""
+        N = self.fri.domain.length
+        ext_cws = []
+        term_arrays = []
+        for i, (t, m, r) in enumerate(zip(self.tables, mats, ext_rands)):
+            cols, terms = t.extend_pure(m, challenges, initials, xp)
+            tp = packs["tables"][i]
+            ext_cws.append(
+                t.ext_codewords(
+                    cols, tp[0] if tp else None, tp[1] if tp else None,
+                    packs["fwd"], N, r, xp,
+                )
+            )
+            term_arrays.append(terms)
+        return tuple(ext_cws), tuple(term_arrays)
+
+    def _stage_combination(
+        self,
+        rand_cw,
+        base_cws,
+        ext_cws,
+        challenges,
+        terminals,
+        weights,
+        shifts,
+        offset_pows,
+        omega_powers,
+        zinv_flat,
+        xp,
+        chunk: int = 16,
+    ):
+        """Quotients + weighted nonlinear combination, fully on device.
+
+        The quotient codewords never leave the device: only the combination
+        is committed, and the verifier recomputes quotients from openings.
+
+        Every non-randomizer term contributes w_plain·term + w_shift·x^s·term
+        = (w_plain + w_shift·x^s)·term, so the weighted sum is computed as a
+        chunked batched product: coefficient tensors (chunk, N, 3) built from
+        one gather into the omega power table, one fused multiply against the
+        stacked terms, and a log-depth modular tree-reduction. This keeps the
+        unrolled graph small (compile time) and the arithmetic batched
+        (runtime), unlike a per-term accumulation loop."""
+        N = self.fri.domain.length
+        alg = ArrayAlgebra(xp)
+        ch_vals = [alg.x(challenges[i]) for i in range(11)]
+        tm_vals = [alg.x(terminals[i]) for i in range(5)]
+
+        # ---- quotient codewords (never leave the device) ----
+        q_terms = []
+        for ti, (t, base_cw, ext_cw) in enumerate(
+            zip(self.tables, base_cws, ext_cws)
+        ):
+            ud = t.unit_distance(N)
+            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+            point_next = [
+                alg.base(xp.roll(base_cw[j], -ud, axis=0))
+                for j in range(t.base_width)
+            ]
+            point_next += [
+                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
+                for j in range(t.num_ext_columns)
+            ]
+            zinv = {
+                "boundary": zinv_flat[3 * ti],
+                "transition": zinv_flat[3 * ti + 1],
+                "terminal": zinv_flat[3 * ti + 2],
+            }
+            q_terms += t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
+
+        ext_col_lookup = {
+            (0, 7): ext_cws[0][0], (0, 8): ext_cws[0][1],
+            (1, 3): ext_cws[1][0], (2, 4): ext_cws[2][0],
+        }
+        boundary_zinv = zinv_flat[0]
+        for pa in self.permutation_arguments:
+            diff = xf.sub(ext_col_lookup[pa.lhs], ext_col_lookup[pa.rhs], xp)
+            q_terms.append(xf.mul_base(diff, boundary_zinv, xp))
+
+        # ---- weighted sum ----
+        num_base = sum(cw.shape[0] for cw in base_cws)
+        num_terms = num_base + sum(cw.shape[0] for cw in ext_cws) + len(q_terms)
+        assert weights.shape[0] == 1 + 2 * num_terms
+        assert shifts.shape[0] == num_terms
+        w_pairs = weights[1:].reshape(num_terms, 2, 3)
+
+        iota = xp.arange(N, dtype=xp.int64)
+
+        def coeffs(start, stop):
+            """(stop-start, N, 3) tensors w_plain + w_shift·x^shift."""
+            sh = shifts[start:stop]  # (c,)
+            op = offset_pows[start:stop]
+            idx = (iota[None, :] * sh[:, None]) % N
+            xs = f.mul(omega_powers[idx], op[:, None], xp)  # (c, N)
+            w_plain = w_pairs[start:stop, 0]  # (c, 3)
+            w_shift = w_pairs[start:stop, 1]
+            c = xf.mul_base(
+                xp.broadcast_to(w_shift[:, None, :], (stop - start, N, 3)),
+                xs, xp,
+            )
+            return f.add(c, w_plain[:, None, :], xp)
+
+        def tree_sum(x):
+            """Modular sum over axis 0 via log-depth halving."""
+            while x.shape[0] > 1:
+                half = x.shape[0] // 2
+                rest = x[2 * half :]
+                x = f.add(x[:half], x[half : 2 * half], xp)
+                if rest.shape[0]:
+                    x = xp.concatenate([x, rest], axis=0)
+            return x[0]
+
+        acc = xf.mul(
+            xp.broadcast_to(weights[0][None, :], (N, 3)), rand_cw, xp
+        )
+
+        # base stream: (num_base, N) stacked
+        base_stack = xp.concatenate(list(base_cws), axis=0)
+        for start in range(0, num_base, chunk):
+            stop = min(start + chunk, num_base)
+            c = coeffs(start, stop)
+            contrib = xf.mul_base(c, base_stack[start:stop], xp)
+            acc = xf.add(acc, tree_sum(contrib), xp)
+
+        # extension + quotient stream: (T_e, N, 3) stacked
+        ext_stack = xp.concatenate(
+            list(ext_cws) + [q[None, :, :] for q in q_terms], axis=0
+        )
+        for start in range(0, ext_stack.shape[0], chunk):
+            stop = min(start + chunk, ext_stack.shape[0])
+            c = coeffs(num_base + start, num_base + stop)
+            contrib = xf.mul(c, ext_stack[start:stop], xp)
+            acc = xf.add(acc, tree_sum(contrib), xp)
+
+        return acc
+
+    def _jitted(self, name, fn):
+        """Per-instance jit cache (stages close over static table geometry)."""
+        cache = getattr(self, "_jit_fns", None)
+        if cache is None:
+            cache = self._jit_fns = {}
+        if name not in cache:
+            import jax
+
+            cache[name] = jax.jit(fn)
+        return cache[name]
 
     # ------------------------------------------------------------------
     # prover
@@ -203,10 +407,30 @@ class BrainfuckStark:
     ) -> bytes:
         if xp is None:
             import jax.numpy as xp
+        use_jit = xp is not np
         cfg = self.config
         rng = Rng(cfg.seed)
         fri = self.fri
         N = fri.domain.length
+
+        import os as _os
+        import sys as _sys
+        import time as _time
+
+        _profile = _os.environ.get("STARK_PROFILE") is not None
+        _last = [_time.time()]
+
+        def _mark(label):
+            if _profile:
+                now = _time.time()
+                print(
+                    f"[prove] {label}: {now - _last[0]:.2f}s",
+                    file=_sys.stderr, flush=True,
+                )
+                _last[0] = now
+
+        def staged(name, fn):
+            return self._jitted(name, fn) if use_jit else fn
 
         # 1. populate and pad (ref brainfuck_stark.py:139-150)
         assert len(processor_matrix) + len(self.program) == len(instruction_matrix)
@@ -222,21 +446,26 @@ class BrainfuckStark:
         if proof_stream is None:
             proof_stream = ProofStream()
 
-        # 2. randomizer polynomial over the full FRI domain (ref :164-169)
-        randomizer_coeffs = rng.x_elements((self.max_degree + 1,), chunk=9)
-        randomizer_codeword = fri.domain.xevaluate(xp.asarray(randomizer_coeffs), xp)
+        mats = tuple(xp.asarray(t.matrix) for t in self.tables)
 
-        # 3. base LDE (ref :171-176)
-        base_codewords_per_table = []
-        for t in self.tables:
-            r = (
-                xp.asarray(rng.base_elements((t.base_width, t.num_randomizers)))
-                if t.num_randomizers > 0 and t.height > 0
-                else None
-            )
-            base_codewords_per_table.append(
-                t.base_codewords(fri.domain.offset, fri.domain.omega, N, r, xp)
-            )
+        # 2-3. randomizer polynomial + base LDE (ref :164-176), one fused
+        # device stage
+        randomizer_coeffs = xp.asarray(rng.x_elements((self.max_degree + 1,), chunk=9))
+        base_rands = tuple(
+            xp.asarray(rng.base_elements((t.base_width, t.num_randomizers)))
+            if t.num_randomizers > 0 and t.height > 0
+            else None
+            for t in self.tables
+        )
+        packs = self._lde_packs(xp)
+        stage_a = staged(
+            "base_lde",
+            lambda m_, rc, br, pk: self._stage_base_lde(m_, rc, br, pk, xp),
+        )
+        randomizer_codeword, base_codewords_per_table = stage_a(
+            mats, randomizer_coeffs, base_rands, packs
+        )
+        _mark("stage_a (base LDE)")
 
         # 4. salted commitment to zipped base codewords (ref :178-180)
         base_host = [np.asarray(cw) for cw in base_codewords_per_table]
@@ -244,9 +473,11 @@ class BrainfuckStark:
         zipped_base = np.concatenate(
             [rand_host] + [cw.T for cw in base_host], axis=1
         )  # (N, 3 + num_base_columns) u64
+        _mark("base host transfer+zip")
         base_leaf_bytes = _rows_to_leaf_bytes(zipped_base)
         base_salts = rng.salts(N)
         base_tree = SaltedMerkle(base_leaf_bytes, base_salts)
+        _mark("base merkle")
         proof_stream.push(base_tree.root())
 
         # 5. challenges (ref :183-184)
@@ -255,71 +486,51 @@ class BrainfuckStark:
         # 6. secret initials for the two permutation arguments (ref :186-187)
         initials_h = [rng.x_element(chunk=8) for _ in range(2)]
 
-        # 7. extend tables (ref :189-190)
-        for t in self.tables:
-            t.extend(challenges_h, initials_h, xp)
+        # 7-8. extend tables + extension LDE (ref :189-199), one fused stage
+        ext_rands = tuple(
+            xp.asarray(rng.x_elements((t.num_ext_columns, t.num_randomizers)))
+            if t.num_randomizers > 0 and t.height > 0
+            else None
+            for t in self.tables
+        )
+        challenges_arr = xp.asarray(np.asarray(challenges_h, dtype=U64))
+        initials_arr = xp.asarray(np.asarray(initials_h, dtype=U64))
+        stage_b = staged(
+            "extend_lde",
+            lambda m_, ch, ini, er, pk: self._stage_extend_lde(
+                m_, ch, ini, er, pk, xp
+            ),
+        )
+        ext_codewords_per_table, term_arrays = stage_b(
+            mats, challenges_arr, initials_arr, ext_rands, packs
+        )
+        _mark("stage_b (extend+ext LDE)")
+        for t, terms in zip(self.tables, term_arrays):
+            terms = np.asarray(terms)
+            t.terminals = {
+                n: tuple(int(v) for v in terms[i])
+                for i, n in enumerate(t.terminal_names)
+            }
         terminals_h = self._terminals_list()
 
-        # 8. extension LDE + salted commitment (ref :194-199)
-        ext_codewords_per_table = []
-        for t in self.tables:
-            r = (
-                xp.asarray(rng.x_elements((t.num_ext_columns, t.num_randomizers)))
-                if t.num_randomizers > 0 and t.height > 0
-                else None
-            )
-            ext_codewords_per_table.append(
-                t.ext_codewords(fri.domain.offset, fri.domain.omega, N, r, xp)
-            )
         ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
         zipped_ext = np.concatenate(
             [cw.transpose(1, 0, 2).reshape(N, -1) for cw in ext_host], axis=1
         )  # (N, 9*3)
+        _mark("ext host transfer+zip")
         ext_leaf_bytes = _rows_to_leaf_bytes(zipped_ext)
         ext_salts = rng.salts(N)
         ext_tree = SaltedMerkle(ext_leaf_bytes, ext_salts)
+        _mark("ext merkle")
         proof_stream.push(ext_tree.root())
 
-        # 9. quotients (ref :204-218)
-        alg = ArrayAlgebra(xp)
-        ch_vals = [alg.x(xp.asarray(c, dtype=xp.uint64)) for c in challenges_h]
-        tm_vals = [alg.x(xp.asarray(t_, dtype=xp.uint64)) for t_ in terminals_h]
-        zinv = self._zerofier_inverses(xp)
-
-        quotient_codewords = []
+        # 9. quotient degree bounds (host, symbolic; ref :210-218)
         quotient_degree_bounds = []
-        for t, base_cw, ext_cw in zip(
-            self.tables, base_codewords_per_table, ext_codewords_per_table
-        ):
-            ud = t.unit_distance(N)
-            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
-            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
-            point_next = [
-                alg.base(xp.roll(base_cw[j], -ud, axis=0))
-                for j in range(t.base_width)
-            ]
-            point_next += [
-                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
-                for j in range(t.num_ext_columns)
-            ]
-            quotient_codewords += t.quotients(
-                alg, point, point_next, ch_vals, tm_vals, zinv[t.height]
-            )
+        for t in self.tables:
             quotient_degree_bounds += t.all_quotient_degree_bounds(
                 challenges_h, terminals_h
             )
-
-        # permutation-argument difference quotients (ref :216-218)
-        ext_col_lookup = {
-            (0, 7): ext_codewords_per_table[0][0],
-            (0, 8): ext_codewords_per_table[0][1],
-            (1, 3): ext_codewords_per_table[1][0],
-            (2, 4): ext_codewords_per_table[2][0],
-        }
-        boundary_zinv = zinv[self.tables[0].height]["boundary"]
         for pa in self.permutation_arguments:
-            diff = xf.sub(ext_col_lookup[pa.lhs], ext_col_lookup[pa.rhs], xp)
-            quotient_codewords.append(xf.mul_base(diff, boundary_zinv, xp))
             quotient_degree_bounds.append(pa.quotient_degree_bound())
 
         # 10. terminals into the transcript (ref :220-221)
@@ -329,69 +540,62 @@ class BrainfuckStark:
         # 11. weights (ref :226-238)
         num_base = sum(t.base_width for t in self.tables)
         num_ext = sum(t.num_ext_columns for t in self.tables)
-        num_quot = len(quotient_codewords)
+        num_quot = len(quotient_degree_bounds)
         weights_h = sample_weights(
             1 + 2 * (num_base + num_ext + num_quot),
             proof_stream.prover_fiat_shamir(),
         )
 
-        # 12. nonlinear combination (ref :240-298)
-        shift_cache: Dict[int, object] = {}
-        acc = xp.zeros((N, 3), dtype=xp.uint64)
-        widx = 0
-
-        def w():
-            nonlocal widx
-            val = xp.asarray(weights_h[widx], dtype=xp.uint64)
-            widx += 1
-            return val
-
-        acc = xf.add(
-            acc,
-            xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), randomizer_codeword, xp),
-            xp,
-        )
+        # 12. quotients + nonlinear combination, one fused device stage
+        # (ref :204-218, :240-298; quotient codewords never leave the device)
         base_bounds = self._base_degree_bounds()
-        flat_base = [cw[j] for cw in base_codewords_per_table for j in range(cw.shape[0])]
-        for cw, bound in zip(flat_base, base_bounds):
-            shift = self.max_degree - bound
-            acc = xf.add(
-                acc,
-                xf.mul_base(xp.broadcast_to(w()[None, :], (N, 3)), cw, xp),
-                xp,
-            )
-            shifted = f.mul(cw, self._shift_array(shift, shift_cache, xp), xp)
-            acc = xf.add(
-                acc,
-                xf.mul_base(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp),
-                xp,
-            )
         ext_bounds = self._ext_degree_bounds()
-        flat_ext = [cw[j] for cw in ext_codewords_per_table for j in range(cw.shape[0])]
-        for cw, bound in zip(flat_ext, ext_bounds):
-            shift = self.max_degree - bound
-            acc = xf.add(
-                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), cw, xp), xp
-            )
-            shifted = xf.mul_base(cw, self._shift_array(shift, shift_cache, xp), xp)
-            acc = xf.add(
-                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp), xp
-            )
-        for q, bound in zip(quotient_codewords, quotient_degree_bounds):
-            shift = self.max_degree - bound
-            acc = xf.add(
-                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), q, xp), xp
-            )
-            shifted = xf.mul_base(q, self._shift_array(shift, shift_cache, xp), xp)
-            acc = xf.add(
-                acc, xf.mul(xp.broadcast_to(w()[None, :], (N, 3)), shifted, xp), xp
-            )
-        assert widx == len(weights_h)
+        all_shift_bounds = base_bounds + ext_bounds + quotient_degree_bounds
+        shifts_np = np.asarray(
+            [self.max_degree - b for b in all_shift_bounds], dtype=np.int64
+        )
+        offset_pows_np = np.asarray(
+            [
+                f.h_pow(fri.domain.offset, self.max_degree - b)
+                for b in all_shift_bounds
+            ],
+            dtype=U64,
+        )
+        terminals_arr = xp.asarray(np.asarray(terminals_h, dtype=U64))
+        weights_arr = xp.asarray(np.asarray(weights_h, dtype=U64))
+        zinv = self._zerofier_inverses(xp)
+        zinv_flat = tuple(
+            zinv[t.height][k]
+            for t in self.tables
+            for k in ("boundary", "transition", "terminal")
+        )
+        stage_c = staged(
+            "combination",
+            lambda rcw, bcw, ecw, ch, tm, wts, sh, op, omp, zf: (
+                self._stage_combination(
+                    rcw, bcw, ecw, ch, tm, wts, sh, op, omp, zf, xp
+                )
+            ),
+        )
+        acc = stage_c(
+            randomizer_codeword,
+            base_codewords_per_table,
+            ext_codewords_per_table,
+            challenges_arr,
+            terminals_arr,
+            weights_arr,
+            xp.asarray(shifts_np),
+            xp.asarray(offset_pows_np),
+            self._omega_power_table(xp),
+            zinv_flat,
+        )
         combination = np.asarray(acc)  # (N, 3) host
+        _mark("stage_c (quotients+combination)")
 
         # 13. commit to the combination codeword (ref :301-302)
         comb_leaves = [encode_leaf(tuple(int(v) for v in row)) for row in combination]
         combination_tree = Merkle(comb_leaves)
+        _mark("combination merkle")
         proof_stream.push(combination_tree.root())
 
         # 14. query indices (ref :305-307)
@@ -426,6 +630,7 @@ class BrainfuckStark:
 
         # 17. FRI (ref :336)
         self.fri.prove(combination, proof_stream)
+        _mark("fri.prove")
 
         return proof_stream.serialize()
 
