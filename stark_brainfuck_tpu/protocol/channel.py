@@ -83,6 +83,35 @@ def _encode_into(out: bytearray, element):
         raise TypeError(f"cannot encode leaf element of type {type(element)}")
 
 
+class NativeCodec:
+    """Canonical fast transcript format: plain-python objects pickled at a
+    pinned protocol, fixed-width little-endian leaf encodings."""
+
+    name = "native"
+
+    def make_stream(self) -> ProofStream:
+        return ProofStream()
+
+    def load_stream(self, bb: bytes) -> ProofStream:
+        return ProofStream.deserialize(bb)
+
+    def leaf_payload(self, obj) -> bytes:
+        return encode_leaf(obj)
+
+    def salted_payload(self, obj, salt: bytes) -> bytes:
+        return encode_leaf(obj) + salt
+
+
+def make_codec(name: str):
+    if name == "native":
+        return NativeCodec()
+    if name == "ref":
+        from ..interop.refcodec import RefCodec
+
+        return RefCodec()
+    raise ValueError(f"unknown codec {name!r}")
+
+
 # ---------------------------------------------------------------------------
 # Fiat-Shamir-derived sampling
 # ---------------------------------------------------------------------------

@@ -66,10 +66,14 @@ class Fri:
         initial_domain_length: int,
         expansion_factor: int,
         num_colinearity_tests: int,
+        codec=None,
     ):
+        from .channel import NativeCodec
+
         self.domain = FriDomain(offset, omega, initial_domain_length)
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
+        self.codec = codec if codec is not None else NativeCodec()
         assert self.num_rounds() >= 1, "FRI needs at least one round"
 
     def num_rounds(self) -> int:
@@ -82,33 +86,49 @@ class Fri:
 
     # -- prover -------------------------------------------------------------
 
-    def commit(self, codeword: np.ndarray, proof_stream: ProofStream):
-        """codeword: (N, 3) u64. Returns (codewords, trees)."""
+    def commit(self, codeword: np.ndarray, proof_stream: ProofStream,
+               leaf_objs0=None):
+        """codeword: (N, 3) u64. Returns (codewords, leaf-object lists,
+        trees). Leaf-object lists preserve python identity across pushes —
+        required for reference-format pickling, where repeated pushes of a
+        leaf become pickle memo references."""
         offset = self.domain.offset
         omega = self.domain.omega
         trees: List[Merkle] = []
         codewords: List[np.ndarray] = []
+        leaf_objs: List[list] = []
         two_inv = f.h_inverse(2)
+        native = self.codec.name == "native"
 
         for r in range(self.num_rounds()):
             N = codeword.shape[0]
-            leaves = [encode_leaf(_xleaf(codeword[i])) for i in range(N)]
-            tree = Merkle(leaves)
+            if r == 0 and leaf_objs0 is not None:
+                objs = leaf_objs0
+            else:
+                objs = [_xleaf(codeword[i]) for i in range(N)]
+            if native:
+                payloads = [encode_leaf(o) for o in objs]
+            else:
+                payloads = [self.codec.leaf_payload(o) for o in objs]
+            tree = Merkle(payloads)
             if r > 0:
                 proof_stream.push(tree.root())
             if r == self.num_rounds() - 1:
+                leaf_objs.append(objs)
                 break
 
             alpha = xf.h_sample(proof_stream.prover_fiat_shamir())
             codewords.append(codeword)
+            leaf_objs.append(objs)
             trees.append(tree)
 
             # fold: new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
+            # with 1/x_i = offset^-1·omega^-i in closed form
             half = N // 2
-            xs = f.mul(
-                f.powers(omega, half, np), np.asarray(offset, dtype=U64), np
-            )
-            inv_xs = f.batch_inverse(xs, np)  # (half,)
+            inv_xs = f.mul(
+                f.powers(f.h_inverse(omega), half, np),
+                np.asarray(f.h_inverse(offset), dtype=U64), np,
+            )  # (half,)
             a_over_x = xf.mul_base(
                 np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),
                 inv_xs, np,
@@ -123,27 +143,27 @@ class Fri:
             omega = f.h_mul(omega, omega)
             offset = f.h_mul(offset, offset)
 
-        proof_stream.push([_xleaf(row) for row in codeword])
+        proof_stream.push(leaf_objs[-1])
         codewords.append(codeword)
-        return codewords, trees
+        return codewords, leaf_objs, trees
 
     def query(
         self,
         current_tree: Merkle,
         next_tree: Merkle,
-        current_codeword: np.ndarray,
-        next_codeword: np.ndarray,
+        current_objs: list,
+        next_objs: list,
         c_indices: List[int],
         proof_stream: ProofStream,
     ):
         a_indices = list(c_indices)
-        b_indices = [i + current_codeword.shape[0] // 2 for i in c_indices]
+        b_indices = [i + len(current_objs) // 2 for i in c_indices]
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 (
-                    _xleaf(current_codeword[a_indices[s]]),
-                    _xleaf(current_codeword[b_indices[s]]),
-                    _xleaf(next_codeword[c_indices[s]]),
+                    current_objs[a_indices[s]],
+                    current_objs[b_indices[s]],
+                    next_objs[c_indices[s]],
                 )
             )
         for s in range(self.num_colinearity_tests):
@@ -154,28 +174,31 @@ class Fri:
     def query_last(
         self,
         current_tree: Merkle,
-        current_codeword: np.ndarray,
-        last_codeword: np.ndarray,
+        current_objs: list,
+        last_objs: list,
         c_indices: List[int],
         proof_stream: ProofStream,
     ):
         a_indices = list(c_indices)
-        b_indices = [i + current_codeword.shape[0] // 2 for i in c_indices]
+        b_indices = [i + len(current_objs) // 2 for i in c_indices]
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 (
-                    _xleaf(current_codeword[a_indices[s]]),
-                    _xleaf(current_codeword[b_indices[s]]),
-                    _xleaf(last_codeword[c_indices[s]]),
+                    current_objs[a_indices[s]],
+                    current_objs[b_indices[s]],
+                    last_objs[c_indices[s]],
                 )
             )
         for s in range(self.num_colinearity_tests):
             proof_stream.push(current_tree.open(a_indices[s]))
             proof_stream.push(current_tree.open(b_indices[s]))
 
-    def prove(self, codeword: np.ndarray, proof_stream: ProofStream) -> List[int]:
+    def prove(self, codeword: np.ndarray, proof_stream: ProofStream,
+              leaf_objs0=None) -> List[int]:
         assert self.domain.length == codeword.shape[0]
-        codewords, trees = self.commit(codeword, proof_stream)
+        codewords, leaf_objs, trees = self.commit(
+            codeword, proof_stream, leaf_objs0
+        )
 
         top_level_indices = sample_indices_fri(
             proof_stream.prover_fiat_shamir(),
@@ -188,12 +211,12 @@ class Fri:
         for i in range(len(trees) - 1):
             indices = [idx % (codewords[i].shape[0] // 2) for idx in indices]
             self.query(
-                trees[i], trees[i + 1], codewords[i], codewords[i + 1],
+                trees[i], trees[i + 1], leaf_objs[i], leaf_objs[i + 1],
                 indices, proof_stream,
             )
         indices = [idx % codewords[-1].shape[0] for idx in indices]
         self.query_last(
-            trees[-1], codewords[len(trees) - 1], codewords[-1], indices,
+            trees[-1], leaf_objs[len(trees) - 1], leaf_objs[-1], indices,
             proof_stream,
         )
         return top_level_indices
@@ -213,8 +236,11 @@ class Fri:
 
         last_codeword = proof_stream.pull()
         last_arr = np.asarray(last_codeword, dtype=U64)
-        leaves = [encode_leaf(tuple(int(v) for v in row)) for row in last_arr]
-        if roots[-1] != Merkle(leaves).root():
+        payloads = [
+            self.codec.leaf_payload(tuple(int(v) for v in row))
+            for row in last_arr
+        ]
+        if roots[-1] != Merkle(payloads).root():
             return False  # last codeword does not match its root
 
         # low-degree check of the last codeword via coset INTT
@@ -261,18 +287,19 @@ class Fri:
             for s in range(self.num_colinearity_tests):
                 path = proof_stream.pull()
                 if not Merkle.verify(
-                    roots[r], a_indices[s], path, encode_leaf(aa[s])
+                    roots[r], a_indices[s], path, self.codec.leaf_payload(aa[s])
                 ):
                     return False
                 path = proof_stream.pull()
                 if not Merkle.verify(
-                    roots[r], b_indices[s], path, encode_leaf(bb[s])
+                    roots[r], b_indices[s], path, self.codec.leaf_payload(bb[s])
                 ):
                     return False
                 if r + 1 != self.num_rounds() - 1:
                     path = proof_stream.pull()
                     if not Merkle.verify(
-                        roots[r + 1], c_indices[s], path, encode_leaf(cc[s])
+                        roots[r + 1], c_indices[s], path,
+                        self.codec.leaf_payload(cc[s]),
                     ):
                         return False
 

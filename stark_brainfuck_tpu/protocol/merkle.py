@@ -64,18 +64,20 @@ class Merkle:
 
 class SaltedMerkle:
     """Merkle tree with a 24-byte salt hashed into every leaf — ZK hiding for
-    the base/extension commitments (ref salted_merkle.py:7-68)."""
+    the base/extension commitments (ref salted_merkle.py:7-68).
+
+    `salted_payloads[i]` is the exact blake2b input for leaf i (the codec
+    decides how element+salt combine — raw concatenation for the native
+    format, pickled parts for reference interop)."""
 
     SALT_LEN = 24
 
-    def __init__(self, leaf_bytes: Sequence[bytes], salts: Sequence[bytes]):
-        assert len(leaf_bytes) == len(salts)
-        self.num_leafs = len(leaf_bytes)
+    def __init__(self, salted_payloads: Sequence[bytes], salts: Sequence[bytes]):
+        assert len(salted_payloads) == len(salts)
+        self.num_leafs = len(salted_payloads)
         self.depth = (self.num_leafs - 1).bit_length() if self.num_leafs > 1 else 0
         self.salts = list(salts)
-        hashes = [
-            blake2b(lb + s).digest() for lb, s in zip(leaf_bytes, self.salts)
-        ]
+        hashes = [blake2b(p).digest() for p in salted_payloads]
         self.nodes = _build_nodes(hashes)
 
     def root(self) -> bytes:
@@ -92,9 +94,9 @@ class SaltedMerkle:
 
     @staticmethod
     def verify(
-        root: bytes, index: int, salt: bytes, path: List[bytes], leaf: bytes
+        root: bytes, index: int, path: List[bytes], salted_payload: bytes
     ) -> bool:
-        running = blake2b(leaf + salt).digest()
+        running = blake2b(salted_payload).digest()
         for node in path:
             if index % 2 == 0:
                 running = blake2b(running + node).digest()

@@ -38,6 +38,7 @@ from .arguments import (
 from .channel import (
     ProofStream,
     encode_leaf,
+    make_codec,
     sample_indices_stark,
     sample_weights,
 )
@@ -98,12 +99,14 @@ class BrainfuckStark:
         self.max_degree = roundup_npo2(self.max_degree) - 1
         fri_domain_length = (self.max_degree + 1) * cfg.expansion_factor
 
+        self.codec = make_codec(cfg.codec)
         self.fri = Fri(
             f.GENERATOR,
             f.primitive_nth_root(fri_domain_length),
             fri_domain_length,
             cfg.expansion_factor,
             cfg.num_colinearity_checks,
+            codec=self.codec,
         )
 
     # ------------------------------------------------------------------
@@ -444,7 +447,8 @@ class BrainfuckStark:
                 t.pad()
 
         if proof_stream is None:
-            proof_stream = ProofStream()
+            proof_stream = self.codec.make_stream()
+        native_codec = self.codec.name == "native"
 
         mats = tuple(xp.asarray(t.matrix) for t in self.tables)
 
@@ -474,9 +478,28 @@ class BrainfuckStark:
             [rand_host] + [cw.T for cw in base_host], axis=1
         )  # (N, 3 + num_base_columns) u64
         _mark("base host transfer+zip")
-        base_leaf_bytes = _rows_to_leaf_bytes(zipped_base)
+        base_widths = [3] + [1] * (zipped_base.shape[1] - 3)
         base_salts = rng.salts(N)
-        base_tree = SaltedMerkle(base_leaf_bytes, base_salts)
+        base_leaf_cache: Dict[int, tuple] = {}
+
+        def base_leaf_obj(idx):
+            if idx not in base_leaf_cache:
+                base_leaf_cache[idx] = _row_to_leaf_object(
+                    zipped_base[idx], base_widths
+                )
+            return base_leaf_cache[idx]
+
+        if native_codec:
+            base_leaf_bytes = _rows_to_leaf_bytes(zipped_base)
+            base_payloads = [
+                b + st for b, st in zip(base_leaf_bytes, base_salts)
+            ]
+        else:
+            base_payloads = [
+                self.codec.salted_payload(base_leaf_obj(i), base_salts[i])
+                for i in range(N)
+            ]
+        base_tree = SaltedMerkle(base_payloads, base_salts)
         _mark("base merkle")
         proof_stream.push(base_tree.root())
 
@@ -518,9 +541,26 @@ class BrainfuckStark:
             [cw.transpose(1, 0, 2).reshape(N, -1) for cw in ext_host], axis=1
         )  # (N, 9*3)
         _mark("ext host transfer+zip")
-        ext_leaf_bytes = _rows_to_leaf_bytes(zipped_ext)
+        ext_widths = [3] * (zipped_ext.shape[1] // 3)
         ext_salts = rng.salts(N)
-        ext_tree = SaltedMerkle(ext_leaf_bytes, ext_salts)
+        ext_leaf_cache: Dict[int, tuple] = {}
+
+        def ext_leaf_obj(idx):
+            if idx not in ext_leaf_cache:
+                ext_leaf_cache[idx] = _row_to_leaf_object(
+                    zipped_ext[idx], ext_widths
+                )
+            return ext_leaf_cache[idx]
+
+        if native_codec:
+            ext_leaf_bytes = _rows_to_leaf_bytes(zipped_ext)
+            ext_payloads = [b + st for b, st in zip(ext_leaf_bytes, ext_salts)]
+        else:
+            ext_payloads = [
+                self.codec.salted_payload(ext_leaf_obj(i), ext_salts[i])
+                for i in range(N)
+            ]
+        ext_tree = SaltedMerkle(ext_payloads, ext_salts)
         _mark("ext merkle")
         proof_stream.push(ext_tree.root())
 
@@ -593,8 +633,20 @@ class BrainfuckStark:
         _mark("stage_c (quotients+combination)")
 
         # 13. commit to the combination codeword (ref :301-302)
-        comb_leaves = [encode_leaf(tuple(int(v) for v in row)) for row in combination]
-        combination_tree = Merkle(comb_leaves)
+        comb_leaf_cache: Dict[int, tuple] = {}
+
+        def comb_leaf_obj(idx):
+            if idx not in comb_leaf_cache:
+                comb_leaf_cache[idx] = tuple(int(v) for v in combination[idx])
+            return comb_leaf_cache[idx]
+
+        if native_codec:
+            comb_payloads = _rows_to_leaf_bytes(combination.reshape(N, 3))
+        else:
+            comb_payloads = [
+                self.codec.leaf_payload(comb_leaf_obj(i)) for i in range(N)
+            ]
+        combination_tree = Merkle(comb_payloads)
         _mark("combination merkle")
         proof_stream.push(combination_tree.root())
 
@@ -610,26 +662,23 @@ class BrainfuckStark:
         for index in indices:
             for distance in [0] + unit_distances:
                 idx = (index + distance) % N
-                element = _row_to_leaf_object(zipped_base[idx], [3] + [1] * (
-                    zipped_base.shape[1] - 3
-                ))
                 salt, path = base_tree.open(idx)
-                proof_stream.push(element)
+                proof_stream.push(base_leaf_obj(idx))
                 proof_stream.push((salt, path))
 
-                ext_element = _row_to_leaf_object(
-                    zipped_ext[idx], [3] * (zipped_ext.shape[1] // 3)
-                )
-                proof_stream.push(ext_element)
+                proof_stream.push(ext_leaf_obj(idx))
                 proof_stream.push(ext_tree.open(idx))
 
         # 16. open combination codeword (ref :329-333)
         for index in indices:
-            proof_stream.push(tuple(int(v) for v in combination[index]))
+            proof_stream.push(comb_leaf_obj(index))
             proof_stream.push(combination_tree.open(index))
 
         # 17. FRI (ref :336)
-        self.fri.prove(combination, proof_stream)
+        comb_leaf_objs0 = None
+        if not native_codec:
+            comb_leaf_objs0 = [comb_leaf_obj(i) for i in range(N)]
+        self.fri.prove(combination, proof_stream, leaf_objs0=comb_leaf_objs0)
         _mark("fri.prove")
 
         return proof_stream.serialize()
@@ -642,7 +691,7 @@ class BrainfuckStark:
         cfg = self.config
         fri = self.fri
         N = fri.domain.length
-        proof_stream = ProofStream.deserialize(proof)
+        proof_stream = self.codec.load_stream(proof)
 
         base_root = proof_stream.pull()
         challenges_h = sample_weights(11, proof_stream.verifier_fiat_shamir())
@@ -682,7 +731,8 @@ class BrainfuckStark:
                 element = proof_stream.pull()
                 salt, path = proof_stream.pull()
                 if not SaltedMerkle.verify(
-                    base_root, idx, salt, path, encode_leaf(element)
+                    base_root, idx, path,
+                    self.codec.salted_payload(element, salt),
                 ):
                     return False
                 row = [tuple(element[0])] + [int(e) for e in element[1:]]
@@ -691,7 +741,8 @@ class BrainfuckStark:
                 element = proof_stream.pull()
                 salt, path = proof_stream.pull()
                 if not SaltedMerkle.verify(
-                    ext_root, idx, salt, path, encode_leaf(element)
+                    ext_root, idx, path,
+                    self.codec.salted_payload(element, salt),
                 ):
                     return False
                 tuples[idx] = tuples[idx] + [tuple(e) for e in element]
@@ -807,7 +858,7 @@ class BrainfuckStark:
             combination_path = proof_stream.pull()
             if not Merkle.verify(
                 combination_root, index, combination_path,
-                encode_leaf(combination_leaf),
+                self.codec.leaf_payload(combination_leaf),
             ):
                 return False
             if combination_leaf != inner:

@@ -1,0 +1,107 @@
+"""Cross-implementation transcript interop.
+
+The hardest compatibility gate (SURVEY §7): Fiat-Shamir hashes pickled
+object prefixes, so byte-level agreement is required for proofs to cross
+implementations. Tests:
+
+  - our prover (codec='ref') -> reference BrainfuckStark.verify accepts;
+  - reference prover -> our verifier (codec='ref') accepts;
+  - our ref-codec proof verifies under our own ref-codec verifier.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, reference_available
+
+from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+
+SRC = "++++"
+
+
+def our_instance(codec="ref", seed=0):
+    program = VirtualMachine.compile(SRC)
+    trace = VirtualMachine.simulate(program)
+    bfs = BrainfuckStark(
+        running_time=trace["processor"].shape[0],
+        memory_length=trace["memory"].shape[0],
+        program=program,
+        input_symbols="",
+        output_symbols=trace["output_data"],
+        config=StarkConfig(seed=seed, codec=codec),
+    )
+    return bfs, trace
+
+
+def test_ref_codec_roundtrip():
+    """Our ref-format proof verifies under our own ref-codec verifier."""
+    bfs, trace = our_instance()
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+    assert bfs.verify(proof)
+
+
+def test_ref_codec_rejects_tamper():
+    bfs, trace = our_instance()
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+    import pickle
+
+    from stark_brainfuck_tpu.interop.ref_shims import ensure_ref_modules
+
+    ensure_ref_modules()
+    objects = pickle.loads(proof)
+    # corrupt the first terminal
+    t = objects[2]
+    t.polynomial.coefficients[0].value = (
+        t.polynomial.coefficients[0].value + 1
+    ) % (2**64 - 2**32 + 1)
+    assert not bfs.verify(pickle.dumps(objects))
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_our_proof_accepted_by_reference_verifier():
+    add_reference_to_path()
+    # the reference modules must be the ones pickle resolves
+    import importlib
+
+    bfs, trace = our_instance()
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+
+    from brainfuck_stark import BrainfuckStark as RefStark
+    from vm import VirtualMachine as RefVM
+
+    program = RefVM.compile(SRC)
+    ref = RefStark(
+        trace["processor"].shape[0], trace["memory"].shape[0], program,
+        [], list(trace["output_data"]),
+    )
+    assert ref.verify(proof), (
+        "reference verifier must accept our ref-format proof"
+    )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_reference_proof_accepted_by_our_verifier():
+    add_reference_to_path()
+    from brainfuck_stark import BrainfuckStark as RefStark
+    from vm import VirtualMachine as RefVM
+
+    program = RefVM.compile(SRC)
+    rt, inp, out = RefVM.run(program)
+    pm, mm, im, inm, om = RefVM.simulate(program, inp)
+    ref = RefStark(rt, len(mm), program, inp, out)
+    ref_proof = ref.prove(program, pm, mm, im, inm, om)
+    assert ref.verify(ref_proof), "sanity: reference roundtrip"
+
+    bfs, _ = our_instance()
+    assert bfs.verify(ref_proof), (
+        "our verifier must accept the reference prover's proof"
+    )
