@@ -48,6 +48,18 @@ def counter_program(target_cycles: int) -> str:
 
 def main():
     log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "14"))
+    import jax
+
+    # persist compiled executables across runs — stage compiles dominate
+    # cold-start time and are shape-stable per trace-size bucket
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import numpy as np
 
     from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine

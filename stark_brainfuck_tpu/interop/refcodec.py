@@ -90,6 +90,12 @@ class RefCodec:
     # -- reference objects -> native-plain ------------------------------
 
     def from_ref(self, obj):
+        """Convert a loaded reference object to native-plain form AND
+        register the plain result in the to_ref memo pointing back at the
+        ORIGINAL object. A verifier re-encoding a pulled element (for leaf
+        hashing) must reproduce the prover's pickled bytes, which requires
+        using the object exactly as deserialized — not a re-built one with
+        different internal aliasing."""
         tn = type(obj).__name__
         if isinstance(obj, bytes):
             return obj
@@ -98,9 +104,13 @@ class RefCodec:
         if tn == "ExtensionFieldElement":
             cs = [int(c.value) for c in obj.polynomial.coefficients]
             cs += [0] * (3 - len(cs))
-            return tuple(cs[:3])
+            plain = tuple(cs[:3])
+            self._memo[id(plain)] = (obj, plain)
+            return plain
         if isinstance(obj, (tuple, list)):
-            return type(obj)(self.from_ref(o) for o in obj)
+            plain = type(obj)(self.from_ref(o) for o in obj)
+            self._memo[id(plain)] = (obj, plain)
+            return plain
         raise TypeError(f"cannot convert {tn} from reference format")
 
     # -- streams ---------------------------------------------------------

@@ -156,6 +156,28 @@ def coset_interpolate(values, offset: int, root: int, xp=np):
 # -- randomized LDE ---------------------------------------------------------
 
 
+def lde_coefficients(
+    trace, randomizers, intt_pack: TwiddlePack, scale, length: int, xp=np
+):
+    """Coset-scaled, zero-padded coefficient rows of the randomized LDE —
+    ready to batch into one shared forward NTT across tables (a single
+    size-N NTT graph instance instead of one per table keeps compile time
+    flat in the number of tables)."""
+    W, H = trace.shape
+    coeffs = ntt_with(trace, intt_pack, xp)
+    if randomizers is not None and randomizers.shape[-1] > 0:
+        R = randomizers.shape[-1]
+        assert R <= H, "num_randomizers must not exceed the trace height"
+        head = f.sub(coeffs[..., :R], randomizers, xp)
+        coeffs = xp.concatenate([head, coeffs[..., R:], randomizers], axis=-1)
+    d = coeffs.shape[-1]
+    scaled = f.mul(coeffs, scale[:d], xp)
+    if d < length:
+        pad = xp.zeros(coeffs.shape[:-1] + (length - d,), dtype=xp.uint64)
+        scaled = xp.concatenate([scaled, pad], axis=-1)
+    return scaled
+
+
 def lde_columns_with(
     trace, randomizers, intt_pack: TwiddlePack, scale, fwd_pack: TwiddlePack,
     fri_length: int, xp=np,

@@ -236,10 +236,9 @@ class Fri:
 
         last_codeword = proof_stream.pull()
         last_arr = np.asarray(last_codeword, dtype=U64)
-        payloads = [
-            self.codec.leaf_payload(tuple(int(v) for v in row))
-            for row in last_arr
-        ]
+        # hash the pulled objects directly: re-encoding must reproduce the
+        # prover's leaf bytes (identity-sensitive in reference format)
+        payloads = [self.codec.leaf_payload(el) for el in last_codeword]
         if roots[-1] != Merkle(payloads).root():
             return False  # last codeword does not match its root
 
@@ -275,7 +274,6 @@ class Fri:
             aa, bb, cc = [], [], []
             for s in range(self.num_colinearity_tests):
                 ay, by, cy = proof_stream.pull()
-                ay, by, cy = tuple(ay), tuple(by), tuple(cy)
                 aa.append(ay)
                 bb.append(by)
                 cc.append(cy)

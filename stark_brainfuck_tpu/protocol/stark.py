@@ -43,7 +43,7 @@ from .channel import (
     sample_weights,
 )
 from .fri import Fri, FriDomain
-from .merkle import Merkle, SaltedMerkle
+from .merkle import Merkle, SaltBuffer, SaltedMerkle
 
 U64 = np.uint64
 
@@ -183,6 +183,47 @@ class BrainfuckStark:
         self._zinv_cache = (key, out)
         return out
 
+    def debug_check_degrees(
+        self, base_host, ext_host, challenges_h, terminals_h
+    ):
+        """The reference's DEBUG mode (table.py:170-176, 219-234, 264-284):
+        interpolate every quotient codeword and assert its degree is below
+        both the FRI domain bound and its symbolic degree bound. Host-side
+        (numpy); gated by StarkConfig.debug_degree_checks."""
+        alg = ArrayAlgebra(np)
+        N = self.fri.domain.length
+        ch_vals = [alg.x(np.asarray(c, dtype=U64)) for c in challenges_h]
+        tm_vals = [alg.x(np.asarray(t_, dtype=U64)) for t_ in terminals_h]
+        zinv = self._zerofier_inverses(np)
+        for t, base_cw, ext_cw in zip(self.tables, base_host, ext_host):
+            ud = t.unit_distance(N)
+            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+            point_next = [
+                alg.base(np.roll(base_cw[j], -ud, axis=0))
+                for j in range(t.base_width)
+            ]
+            point_next += [
+                alg.x(np.roll(ext_cw[j], -ud, axis=0))
+                for j in range(t.num_ext_columns)
+            ]
+            quotients = t.quotients(
+                alg, point, point_next, ch_vals, tm_vals, zinv[t.height]
+            )
+            bounds = t.all_quotient_degree_bounds(challenges_h, terminals_h)
+            for i, (q, bound) in enumerate(zip(quotients, bounds)):
+                coeffs = self.fri.domain.xinterpolate(np.asarray(q), np)
+                nz = np.nonzero(np.any(coeffs != 0, axis=1))[0]
+                deg = int(nz[-1]) if len(nz) else -1
+                assert deg < N - 1, (
+                    f"{t.name} quotient {i}: degree {deg} hits the domain "
+                    f"bound — AIR does not divide cleanly"
+                )
+                assert deg <= bound or deg == -1, (
+                    f"{t.name} quotient {i}: degree {deg} > symbolic bound "
+                    f"{bound}"
+                )
+
     def _omega_power_table(self, xp):
         key = "np" if xp is np else "jax"
         cache = getattr(self, "_omega_cache", None)
@@ -225,41 +266,93 @@ class BrainfuckStark:
     # -- jittable prover stages ----------------------------------------
 
     def _stage_base_lde(self, mats, rand_coeffs, base_rands, packs, xp):
-        """Randomizer codeword + per-table base codewords."""
+        """Randomizer codeword + per-table base codewords.
+
+        All coefficient rows (randomizer limbs + every table's base columns)
+        are batched into ONE shared forward NTT of the FRI domain size —
+        one NTT graph instance per stage, not one per table."""
         from ..ops import ntt as nt
 
         N = self.fri.domain.length
-        # randomizer polynomial evaluated over the coset (3 as batch dim)
-        rc = xp.moveaxis(rand_coeffs, -1, 0)  # (3, D)
-        rand_cw = xp.moveaxis(
-            nt.coset_evaluate_with(rc, packs["rand_scale"], packs["fwd"], N, xp),
-            0, -1,
-        )
-        base_cws = tuple(
-            t.base_codewords(
-                m, packs["tables"][i][0] if packs["tables"][i] else None,
-                packs["tables"][i][1] if packs["tables"][i] else None,
-                packs["fwd"], N, r, xp,
+        rows = [
+            f.mul(
+                xp.concatenate(
+                    [
+                        xp.moveaxis(rand_coeffs, -1, 0),
+                        xp.zeros((3, N - rand_coeffs.shape[0]), dtype=xp.uint64),
+                    ],
+                    axis=-1,
+                ),
+                xp.concatenate(
+                    [
+                        packs["rand_scale"],
+                        xp.zeros((N - rand_coeffs.shape[0],), dtype=xp.uint64),
+                    ]
+                ),
+                xp,
             )
-            for i, (t, m, r) in enumerate(zip(self.tables, mats, base_rands))
-        )
-        return rand_cw, base_cws
+        ]
+        for i, (t, m, r) in enumerate(zip(self.tables, mats, base_rands)):
+            tp = packs["tables"][i]
+            if t.height == 0:
+                rows.append(xp.zeros((t.base_width, N), dtype=xp.uint64))
+            else:
+                rows.append(
+                    nt.lde_coefficients(m.T, r, tp[0], tp[1], N, xp)
+                )
+        all_coeffs = xp.concatenate(rows, axis=0)
+        all_cws = nt.ntt_with(all_coeffs, packs["fwd"], xp)
+        rand_cw = xp.moveaxis(all_cws[:3], 0, -1)  # (N, 3)
+        base_cws = []
+        pos = 3
+        for t in self.tables:
+            base_cws.append(all_cws[pos : pos + t.base_width])
+            pos += t.base_width
+        return rand_cw, tuple(base_cws)
 
     def _stage_extend_lde(self, mats, challenges, initials, ext_rands, packs, xp):
-        """Extension columns (parallel scans) + their codewords + terminals."""
+        """Extension columns (parallel scans) + their codewords + terminals.
+        Extension LDEs share one batched forward NTT like the base stage."""
+        from ..ops import ntt as nt
+
         N = self.fri.domain.length
-        ext_cws = []
         term_arrays = []
+        rows = []
+        layout = []  # (table_index, n_ext) in order
         for i, (t, m, r) in enumerate(zip(self.tables, mats, ext_rands)):
             cols, terms = t.extend_pure(m, challenges, initials, xp)
-            tp = packs["tables"][i]
-            ext_cws.append(
-                t.ext_codewords(
-                    cols, tp[0] if tp else None, tp[1] if tp else None,
-                    packs["fwd"], N, r, xp,
-                )
-            )
             term_arrays.append(terms)
+            if t.height == 0:
+                layout.append((i, 0))
+                continue
+            tp = packs["tables"][i]
+            # (H, n_ext, 3) -> (3*n_ext, H) coefficient rows
+            trace = xp.moveaxis(cols, 0, -1)  # (n_ext, 3, H)
+            trace = trace.reshape((-1, trace.shape[-1]))
+            rr = None
+            if r is not None:
+                # (n_ext, R, 3) -> (n_ext*3, R), limb-major per column
+                rr = xp.moveaxis(r, -1, 1).reshape((-1, r.shape[1]))
+            rows.append(nt.lde_coefficients(trace, rr, tp[0], tp[1], N, xp))
+            layout.append((i, t.num_ext_columns))
+        all_coeffs = (
+            xp.concatenate(rows, axis=0)
+            if rows
+            else xp.zeros((0, N), dtype=xp.uint64)
+        )
+        all_cws = nt.ntt_with(all_coeffs, packs["fwd"], xp)
+        ext_cws = []
+        pos = 0
+        for i, n_ext in layout:
+            t = self.tables[i]
+            if t.height == 0 or n_ext == 0:
+                ext_cws.append(
+                    xp.zeros((t.num_ext_columns, N, 3), dtype=xp.uint64)
+                )
+                continue
+            block = all_cws[pos : pos + 3 * n_ext].reshape((n_ext, 3, N))
+            ext_cws.append(xp.moveaxis(block, 1, -1))  # (n_ext, N, 3)
+            pos += 3 * n_ext
         return tuple(ext_cws), tuple(term_arrays)
 
     def _stage_combination(
@@ -479,7 +572,7 @@ class BrainfuckStark:
         )  # (N, 3 + num_base_columns) u64
         _mark("base host transfer+zip")
         base_widths = [3] + [1] * (zipped_base.shape[1] - 3)
-        base_salts = rng.salts(N)
+        base_salts = SaltBuffer(rng.salt_buffer(N))
         base_leaf_cache: Dict[int, tuple] = {}
 
         def base_leaf_obj(idx):
@@ -490,16 +583,14 @@ class BrainfuckStark:
             return base_leaf_cache[idx]
 
         if native_codec:
-            base_leaf_bytes = _rows_to_leaf_bytes(zipped_base)
-            base_payloads = [
-                b + st for b, st in zip(base_leaf_bytes, base_salts)
-            ]
+            buf, plen = _salted_payload_buffer(zipped_base, base_salts.buf)
+            base_tree = SaltedMerkle.from_buffer(buf, plen, N, base_salts)
         else:
             base_payloads = [
                 self.codec.salted_payload(base_leaf_obj(i), base_salts[i])
                 for i in range(N)
             ]
-        base_tree = SaltedMerkle(base_payloads, base_salts)
+            base_tree = SaltedMerkle(base_payloads, base_salts)
         _mark("base merkle")
         proof_stream.push(base_tree.root())
 
@@ -542,7 +633,7 @@ class BrainfuckStark:
         )  # (N, 9*3)
         _mark("ext host transfer+zip")
         ext_widths = [3] * (zipped_ext.shape[1] // 3)
-        ext_salts = rng.salts(N)
+        ext_salts = SaltBuffer(rng.salt_buffer(N))
         ext_leaf_cache: Dict[int, tuple] = {}
 
         def ext_leaf_obj(idx):
@@ -553,16 +644,21 @@ class BrainfuckStark:
             return ext_leaf_cache[idx]
 
         if native_codec:
-            ext_leaf_bytes = _rows_to_leaf_bytes(zipped_ext)
-            ext_payloads = [b + st for b, st in zip(ext_leaf_bytes, ext_salts)]
+            buf, plen = _salted_payload_buffer(zipped_ext, ext_salts.buf)
+            ext_tree = SaltedMerkle.from_buffer(buf, plen, N, ext_salts)
         else:
             ext_payloads = [
                 self.codec.salted_payload(ext_leaf_obj(i), ext_salts[i])
                 for i in range(N)
             ]
-        ext_tree = SaltedMerkle(ext_payloads, ext_salts)
+            ext_tree = SaltedMerkle(ext_payloads, ext_salts)
         _mark("ext merkle")
         proof_stream.push(ext_tree.root())
+
+        if cfg.debug_degree_checks:
+            self.debug_check_degrees(
+                base_host, ext_host, challenges_h, terminals_h
+            )
 
         # 9. quotient degree bounds (host, symbolic; ref :210-218)
         quotient_degree_bounds = []
@@ -641,12 +737,15 @@ class BrainfuckStark:
             return comb_leaf_cache[idx]
 
         if native_codec:
-            comb_payloads = _rows_to_leaf_bytes(combination.reshape(N, 3))
+            combination_tree = Merkle.from_buffer(
+                np.ascontiguousarray(combination.astype("<u8")).tobytes(),
+                24, N,
+            )
         else:
             comb_payloads = [
                 self.codec.leaf_payload(comb_leaf_obj(i)) for i in range(N)
             ]
-        combination_tree = Merkle(comb_payloads)
+            combination_tree = Merkle(comb_payloads)
         _mark("combination merkle")
         proof_stream.push(combination_tree.root())
 
@@ -854,7 +953,7 @@ class BrainfuckStark:
             for w_, t_ in zip(weights_h, terms):
                 inner = xf.h_add(inner, xf.h_mul(w_, t_))
 
-            combination_leaf = tuple(proof_stream.pull())
+            combination_leaf = proof_stream.pull()
             combination_path = proof_stream.pull()
             if not Merkle.verify(
                 combination_root, index, combination_path,
@@ -887,6 +986,20 @@ class BrainfuckStark:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _salted_payload_buffer(rows: np.ndarray, salt_buf: bytes):
+    """(N, k) u64 rows + packed salts -> one contiguous payload buffer of
+    per-leaf (8k + 24)-byte payloads (native-codec salted leaves)."""
+    n, k = rows.shape
+    row_u8 = np.ascontiguousarray(rows.astype("<u8")).view(np.uint8).reshape(
+        n, 8 * k
+    )
+    salts_u8 = np.frombuffer(salt_buf, dtype=np.uint8).reshape(n, 24)
+    return (
+        np.concatenate([row_u8, salts_u8], axis=1).tobytes(),
+        8 * k + 24,
+    )
 
 
 def _rows_to_leaf_bytes(rows: np.ndarray) -> List[bytes]:

@@ -55,3 +55,7 @@ class Rng:
 
     def salts(self, count: int, length: int = 24) -> list:
         return [self.bytes(length) for _ in range(count)]
+
+    def salt_buffer(self, count: int, length: int = 24) -> bytes:
+        """All salts in one draw (packed buffer, see merkle.SaltBuffer)."""
+        return self.bytes(count * length)

@@ -38,3 +38,17 @@ def add_reference_to_path():
         sys.path.insert(0, REFERENCE_CODE)
     # the reference dir is read-only; don't try to write .pyc files there
     sys.dont_write_bytecode = True
+
+
+# Pre-import the real reference modules (when mounted) so the interop shims
+# never shadow them within a test session — the RefCodec prefers whatever
+# `algebra` et al. resolve to, and mixing shims with the real modules in one
+# process would break the reference-oracle tests.
+if reference_available():
+    add_reference_to_path()
+    try:
+        import algebra  # noqa: F401
+        import extension_field  # noqa: F401
+        import univariate  # noqa: F401
+    except ImportError:
+        pass

@@ -9,6 +9,8 @@ implementations. Tests:
   - our ref-codec proof verifies under our own ref-codec verifier.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -88,8 +90,28 @@ def test_our_proof_accepted_by_reference_verifier():
     )
 
 
-@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+GOLDEN_REF_PROOF = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "vectors", "ref_proof_plus4.bin"
+)
+
+
 def test_reference_proof_accepted_by_our_verifier():
+    """Golden vector: a proof produced by the unmodified reference prover
+    (scripts/measure_reference.py environment) for `++++`. Our ref-codec
+    verifier must accept it."""
+    proof = open(GOLDEN_REF_PROOF, "rb").read()
+    bfs, _ = our_instance()
+    assert bfs.verify(proof), (
+        "our verifier must accept the reference prover's proof"
+    )
+
+
+@pytest.mark.skipif(
+    not reference_available() or not os.environ.get("INTEROP_SLOW"),
+    reason="set INTEROP_SLOW=1 to regenerate with the live reference prover "
+    "(~8 min)",
+)
+def test_reference_proof_regenerated_live():
     add_reference_to_path()
     from brainfuck_stark import BrainfuckStark as RefStark
     from vm import VirtualMachine as RefVM

@@ -1,0 +1,101 @@
+"""Sharded-kernel tests on the virtual 8-device CPU mesh: distributed
+four-step NTT vs the single-device butterfly network, sharded prover core
+vs the unsharded stages, and mesh-shape determinism (the framework's
+'race detector' — proof math must be invariant to how work is sharded,
+SURVEY §5)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stark_brainfuck_tpu.ops import field as f
+from stark_brainfuck_tpu.ops import ntt as nt
+from stark_brainfuck_tpu.parallel.dntt import (
+    distributed_coset_evaluate,
+    distributed_ntt,
+)
+from stark_brainfuck_tpu.parallel.mesh import make_mesh
+
+RNG = np.random.default_rng(41)
+
+needs_devices = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@needs_devices
+@pytest.mark.parametrize("logn", [10, 12])
+def test_distributed_ntt_matches_single_device(logn):
+    n = 1 << logn
+    root = f.primitive_nth_root(n)
+    x = RNG.integers(0, f.P, size=(3, n), dtype=np.uint64)
+    mesh = make_mesh(8)
+    got = np.asarray(distributed_ntt(jnp.asarray(x), root, mesh))
+    want = np.asarray(nt.ntt(x, root, np))
+    assert np.array_equal(got, want)
+
+
+@needs_devices
+def test_distributed_ntt_mesh_shape_invariant():
+    n = 1 << 10
+    root = f.primitive_nth_root(n)
+    x = RNG.integers(0, f.P, size=(2, n), dtype=np.uint64)
+    outs = []
+    for d in [2, 4, 8]:
+        mesh = make_mesh(d)
+        outs.append(np.asarray(distributed_ntt(jnp.asarray(x), root, mesh)))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
+
+
+@needs_devices
+def test_distributed_coset_evaluate():
+    n, d = 1 << 10, 200
+    root = f.primitive_nth_root(n)
+    coeffs = RNG.integers(0, f.P, size=(2, d), dtype=np.uint64)
+    mesh = make_mesh(4)
+    got = np.asarray(
+        distributed_coset_evaluate(jnp.asarray(coeffs), f.GENERATOR, root, n, mesh)
+    )
+    want = np.asarray(nt.coset_evaluate(coeffs, f.GENERATOR, root, n, np))
+    assert np.array_equal(got, want)
+
+
+@needs_devices
+def test_sharded_prove_core_matches_unsharded():
+    """The full prover core under an 8-device mesh must produce the same
+    combination codeword as the single-device run (proof-bytes determinism
+    across shardings)."""
+    from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+    from stark_brainfuck_tpu.parallel.prover import (
+        dryrun_sharded_prove,
+        make_prove_core,
+        prove_core_inputs,
+    )
+
+    program = VirtualMachine.compile("++++")
+    trace = VirtualMachine.simulate(program)
+
+    def run(mesh_size):
+        bfs = BrainfuckStark(
+            trace["processor"].shape[0], trace["memory"].shape[0], program,
+            "", trace["output_data"], StarkConfig(seed=0),
+        )
+        if mesh_size is None:
+            inputs = prove_core_inputs(bfs, trace, seed=0, xp=jnp)
+            core = jax.jit(make_prove_core(bfs, mesh=None, xp=jnp))
+            acc, _ = core(
+                inputs["mats"], inputs["rand_coeffs"], inputs["base_rands"],
+                inputs["ext_rands"], inputs["challenges"], inputs["initials"],
+                inputs["weights"], inputs["shifts"], inputs["offset_pows"],
+                inputs["omega_powers"], inputs["zinv_flat"],
+                inputs["terminals"], inputs["packs"],
+            )
+            return np.asarray(acc)
+        return dryrun_sharded_prove(mesh_size, "++++", seed=0)
+
+    unsharded = run(None)
+    sharded = run(8)
+    assert np.array_equal(unsharded, sharded)
