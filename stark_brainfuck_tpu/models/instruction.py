@@ -114,10 +114,9 @@ class InstructionTable(Table):
 
     terminal_names = ("permutation", "evaluation")
 
-    def extend_pure(self, m, challenges, initials, xp):
+    def _lane_inputs(self, m, challenges, xp):
         a, b, c = challenges[0], challenges[1], challenges[2]
         alpha, eta = challenges[6], challenges[10]
-        init_ip = initials[0]
         H = m.shape[0]
         addr, ci, ni = (m[:, i] for i in range(3))
         one = xf.ones((H,), xp)
@@ -135,22 +134,34 @@ class InstructionTable(Table):
         else:
             same_addr = xp.zeros((0,), dtype=bool)
 
-        # permutation: inclusive running product over repeated-address,
-        # non-padding rows of (alpha - row_val)
+        # permutation: inclusive product over repeated-address, non-padding
+        # rows of (alpha - row_val)
         lin = xf.sub(xp.broadcast_to(alpha[None, :], (H, 3)), row_val, xp)
         active = (same_addr & (ci != 0))[:, None]
         fac = xp.where(active, lin, one)
-        inc = sc.inclusive_prefix_mul(fac, xp)
-        col_perm = xf.mul(xp.broadcast_to(init_ip[None, :], (H, 3)), inc, xp)
-        term_perm = col_perm[-1] if H > 0 else init_ip
 
         # evaluation: inclusive affine recurrence absorbing new addresses
         is_new = (~same_addr)[:, None]
         ms = xp.where(is_new, xp.broadcast_to(eta[None, :], (H, 3)), one)
         bs = xp.where(is_new, row_val, xf.zeros((H,), xp))
-        col_eval = sc.affine_scan(ms, bs, xp)
-        term_eval = col_eval[-1] if H > 0 else xf.scalar(0, xp=xp)
+        return fac, ms, bs
 
+    def extend_lanes(self, m, challenges, initials, xp):
+        fac, ms, bs = self._lane_inputs(m, challenges, xp)
+        return [sc.prefix_mul_as_affine(fac, xp), (ms, bs)]
+
+    def extend_finish(self, m, challenges, initials, outs, xp):
+        inc, col_eval = outs
+        init_ip = initials[0]
+        H = m.shape[0]
+        col_perm = xf.mul(xp.broadcast_to(init_ip[None, :], (H, 3)), inc, xp)
+        term_perm = col_perm[-1] if H > 0 else init_ip
+        term_eval = col_eval[-1] if H > 0 else xf.scalar(0, xp=xp)
         cols = xp.stack([col_perm, col_eval], axis=1)
         terms = xp.stack([term_perm, term_eval], axis=0)
         return cols, terms
+
+    def extend_pure(self, m, challenges, initials, xp):
+        lanes = self.extend_lanes(m, challenges, initials, xp)
+        outs = sc.batched_affine_scan(lanes, xp)
+        return self.extend_finish(m, challenges, initials, outs, xp)

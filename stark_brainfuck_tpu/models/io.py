@@ -66,23 +66,33 @@ class IOTable(Table):
 
     terminal_names = ("evaluation",)
 
-    def extend_pure(self, m, challenges, initials, xp):
+    def extend_lanes(self, m, challenges, initials, xp):
+        H = m.shape[0]
+        if H == 0:
+            return []
         iota = challenges[self.challenge_index]
+        ms = xp.broadcast_to(iota[None, :], (H, 3))
+        bs = xf.from_base(m[:, COLUMN], xp)
+        return [(ms, bs)]
+
+    def extend_finish(self, m, challenges, initials, outs, xp):
         H = m.shape[0]
         if H == 0:
             return (
                 xp.zeros((0, 1, 3), dtype=xp.uint64),
                 xp.zeros((1, 3), dtype=xp.uint64),
             )
-        col = m[:, COLUMN]
-        ms = xp.broadcast_to(iota[None, :], (H, 3))
-        bs = xf.from_base(col, xp)
-        ev = sc.affine_scan(ms, bs, xp)
+        (ev,) = outs
         if self.length > 0:
             terminal = ev[self.length - 1]
         else:
             terminal = xp.zeros((3,), dtype=xp.uint64)
         return ev[:, None, :], terminal[None, :]
+
+    def extend_pure(self, m, challenges, initials, xp):
+        lanes = self.extend_lanes(m, challenges, initials, xp)
+        outs = sc.batched_affine_scan(lanes, xp)
+        return self.extend_finish(m, challenges, initials, outs, xp)
 
 
 class InputTable(IOTable):

@@ -94,22 +94,28 @@ class MemoryTable(Table):
 
     terminal_names = ("permutation",)
 
-    def extend_pure(self, m, challenges, initials, xp):
+    def extend_lanes(self, m, challenges, initials, xp):
         d, e, f_, beta = (
             challenges[3], challenges[4], challenges[5], challenges[7],
         )
-        init_mp = initials[1]
         H = m.shape[0]
         clk, mp, mv, dummy = (m[:, i] for i in range(4))
         one = xf.ones((H,), xp)
-
         acc = xf.mul_base(d[None, :], clk, xp)
         acc = xf.add(acc, xf.mul_base(e[None, :], mp, xp), xp)
         acc = xf.add(acc, xf.mul_base(f_[None, :], mv, xp), xp)
         lin = xf.sub(xp.broadcast_to(beta[None, :], acc.shape), acc, xp)
-
         fac = xp.where((dummy == 0)[:, None], lin, one)
-        inc = sc.inclusive_prefix_mul(fac, xp)
+        return [sc.prefix_mul_as_affine(fac, xp)]
+
+    def extend_finish(self, m, challenges, initials, outs, xp):
+        (inc,) = outs
+        init_mp = initials[1]
         col = sc.exclusive_from_inclusive(inc, init_mp, xp)
         term = xf.mul(init_mp, inc[-1], xp)
         return col[:, None, :], term[None, :]
+
+    def extend_pure(self, m, challenges, initials, xp):
+        lanes = self.extend_lanes(m, challenges, initials, xp)
+        outs = sc.batched_affine_scan(lanes, xp)
+        return self.extend_finish(m, challenges, initials, outs, xp)

@@ -234,19 +234,14 @@ class ProcessorTable(Table):
         "input_evaluation", "output_evaluation",
     )
 
-    def extend_pure(self, m, challenges, initials, xp):
-        """Pure/jittable: (H, 7) matrix + (11,3) challenges + (2,3) initials
-        -> ((H, 4, 3) extension columns, (4, 3) terminals)."""
-        a, b, c, d, e, f_, alpha, beta, gamma, delta, eta = [
-            challenges[i] for i in range(11)
-        ]
-        init_ip, init_mp = initials[0], initials[1]
+    def extend_lanes(self, m, challenges, initials, xp):
+        """Affine-scan lanes for the 4 extension columns (batched with the
+        other tables' lanes into one scan by the prover stage)."""
+        a, b, c, d, e, f_ = (challenges[i] for i in range(6))
+        alpha, beta, gamma, delta = (challenges[i] for i in range(6, 10))
         H = m.shape[0]
         clk, ip, ci, ni, mp, mv = (m[:, i] for i in (CLK, IP, CI, NI, MP, MV))
         one = xf.ones((H,), xp)
-
-        def lift(col):
-            return xf.from_base(col, xp)
 
         def lin3(ch0, c0, ch1, c1, ch2, c2, lhs):
             acc = xf.mul_base(ch0[None, :], c0, xp)
@@ -256,38 +251,48 @@ class ProcessorTable(Table):
 
         active = (ci != 0)[:, None]
 
-        # instruction permutation: exclusive running product of
-        # (alpha - a*ip - b*ci - c*ni) over non-padding rows
+        # instruction permutation running product (exclusive; non-padding)
         fac1 = xp.where(active, lin3(a, ip, b, ci, c, ni, alpha), one)
-        inc1 = sc.inclusive_prefix_mul(fac1, xp)
-        col_ip = sc.exclusive_from_inclusive(inc1, init_ip, xp)
-        term_ip = xf.mul(init_ip, inc1[-1], xp)
-
-        # memory permutation: exclusive running product of
-        # (beta - d*clk - e*mp - f*mv) over non-padding rows
+        # memory permutation running product (exclusive; non-padding)
         fac2 = xp.where(active, lin3(d, clk, e, mp, f_, mv, beta), one)
-        inc2 = sc.inclusive_prefix_mul(fac2, xp)
-        col_mp = sc.exclusive_from_inclusive(inc2, init_mp, xp)
-        term_mp = xf.mul(init_mp, inc2[-1], xp)
 
-        # input evaluation: x <- gamma*x + mv_next on ',' rows, stored
-        # exclusively (the read value only lands in mv after the cycle)
+        # input evaluation: x <- gamma*x + mv_next on ',' rows (exclusive;
+        # the read value only lands in mv after the cycle)
         is_comma = (ci == ord(","))[:, None]
         mv_next = xp.roll(mv, -1, axis=0)
-        ms = xp.where(is_comma, xp.broadcast_to(gamma[None, :], (H, 3)), one)
-        bs = xp.where(is_comma, lift(mv_next), xf.zeros((H,), xp))
-        inc3 = sc.affine_scan(ms, bs, xp)
+        ms3 = xp.where(is_comma, xp.broadcast_to(gamma[None, :], (H, 3)), one)
+        bs3 = xp.where(is_comma, xf.from_base(mv_next, xp), xf.zeros((H,), xp))
+
+        # output evaluation: x <- delta*x + mv on '.' rows (exclusive)
+        is_dot = (ci == ord("."))[:, None]
+        ms4 = xp.where(is_dot, xp.broadcast_to(delta[None, :], (H, 3)), one)
+        bs4 = xp.where(is_dot, xf.from_base(mv, xp), xf.zeros((H,), xp))
+
+        return [
+            sc.prefix_mul_as_affine(fac1, xp),
+            sc.prefix_mul_as_affine(fac2, xp),
+            (ms3, bs3),
+            (ms4, bs4),
+        ]
+
+    def extend_finish(self, m, challenges, initials, outs, xp):
+        inc1, inc2, inc3, inc4 = outs
+        init_ip, init_mp = initials[0], initials[1]
+        col_ip = sc.exclusive_from_inclusive(inc1, init_ip, xp)
+        term_ip = xf.mul(init_ip, inc1[-1], xp)
+        col_mp = sc.exclusive_from_inclusive(inc2, init_mp, xp)
+        term_mp = xf.mul(init_mp, inc2[-1], xp)
         col_in = xp.concatenate([xf.zeros((1,), xp), inc3[:-1]], axis=0)
         term_in = inc3[-1]
-
-        # output evaluation: x <- delta*x + mv on '.' rows, stored exclusively
-        is_dot = (ci == ord("."))[:, None]
-        ms = xp.where(is_dot, xp.broadcast_to(delta[None, :], (H, 3)), one)
-        bs = xp.where(is_dot, lift(mv), xf.zeros((H,), xp))
-        inc4 = sc.affine_scan(ms, bs, xp)
         col_out = xp.concatenate([xf.zeros((1,), xp), inc4[:-1]], axis=0)
         term_out = inc4[-1]
-
         cols = xp.stack([col_ip, col_mp, col_in, col_out], axis=1)
         terms = xp.stack([term_ip, term_mp, term_in, term_out], axis=0)
         return cols, terms
+
+    def extend_pure(self, m, challenges, initials, xp):
+        """Pure/jittable: (H, 7) matrix + (11,3) challenges + (2,3) initials
+        -> ((H, 4, 3) extension columns, (4, 3) terminals)."""
+        lanes = self.extend_lanes(m, challenges, initials, xp)
+        outs = sc.batched_affine_scan(lanes, xp)
+        return self.extend_finish(m, challenges, initials, outs, xp)

@@ -91,6 +91,59 @@ def affine_scan(ms, bs, xp=np):
     return bs
 
 
+def prefix_mul_as_affine(factors, xp=np):
+    """Express an inclusive prefix product as an affine-scan lane:
+    x_i = f_i·x_{i-1} + b_i with b = (f_0, 0, 0, ...) gives x_i = Π_{j<=i} f_j
+    from x_{-1} = 0 — so product lanes and affine lanes batch into ONE scan."""
+    b = xp.concatenate(
+        [factors[:1], xp.zeros_like(factors[1:])], axis=0
+    )
+    return factors, b
+
+
+def batched_affine_scan(lanes, xp=np):
+    """Run many affine recurrences as one scan. `lanes`: list of (ms, bs)
+    pairs, each (H_i, 3) — padded to the max height with the identity
+    (m=1, b=0) and stacked to (K, Hmax, 3). Returns the list of inclusive
+    outputs trimmed back to their own heights.
+
+    One scan instance instead of K keeps the unrolled Hillis-Steele graph
+    (and its compile time) flat in the number of extension columns."""
+    if not lanes:
+        return []
+    hmax = max(m.shape[0] for m, _ in lanes)
+    one = np.zeros((3,), dtype=np.uint64)
+    one[0] = 1
+
+    def pad(arr, fill):
+        d = hmax - arr.shape[0]
+        if d == 0:
+            return arr
+        tail = xp.broadcast_to(xp.asarray(fill, dtype=xp.uint64), (d, 3))
+        return xp.concatenate([arr, tail], axis=0)
+
+    ms = xp.stack([pad(m, one) for m, _ in lanes], axis=0)  # (K, Hmax, 3)
+    bs = xp.stack([pad(b, np.zeros((3,), dtype=np.uint64)) for _, b in lanes], axis=0)
+
+    n = hmax
+    d = 1
+    zero3 = np.zeros((3,), dtype=np.uint64)
+    while d < n:
+        m_early = _shift_down_batched(ms, d, one, xp)
+        b_early = _shift_down_batched(bs, d, zero3, xp)
+        bs = xf.add(xf.mul(ms, b_early, xp), bs, xp)
+        ms = xf.mul(ms, m_early, xp)
+        d *= 2
+    return [bs[k, : lanes[k][0].shape[0]] for k in range(len(lanes))]
+
+
+def _shift_down_batched(x, d, fill, xp):
+    pad = xp.broadcast_to(
+        xp.asarray(fill, dtype=xp.uint64), (x.shape[0], d, 3)
+    )
+    return xp.concatenate([pad, x[:, :-d]], axis=1)
+
+
 def exclusive_from_inclusive(inclusive, initial, xp=np):
     """Shift an inclusive prefix product right by one and premultiply by the
     initial value: out_i = initial · Π_{j<i} f_j."""

@@ -58,6 +58,20 @@ def _xleaf(arr_row) -> tuple:
     return tuple(int(v) for v in arr_row)
 
 
+class _LazyLeaves:
+    """Leaf-object view over a codeword array: tuples materialize on
+    indexing (the native codec needs objects only at queried indices)."""
+
+    def __init__(self, codeword: np.ndarray):
+        self.codeword = codeword
+
+    def __len__(self):
+        return self.codeword.shape[0]
+
+    def __getitem__(self, i: int) -> tuple:
+        return _xleaf(self.codeword[i])
+
+
 class Fri:
     def __init__(
         self,
@@ -102,15 +116,20 @@ class Fri:
 
         for r in range(self.num_rounds()):
             N = codeword.shape[0]
-            if r == 0 and leaf_objs0 is not None:
-                objs = leaf_objs0
-            else:
-                objs = [_xleaf(codeword[i]) for i in range(N)]
             if native:
-                payloads = [encode_leaf(o) for o in objs]
+                # leaves hashed straight from the codeword buffer; leaf
+                # *objects* are only needed at the few queried indices
+                objs = _LazyLeaves(codeword)
+                tree = Merkle.from_buffer(
+                    np.ascontiguousarray(codeword.astype("<u8")).tobytes(),
+                    24, N,
+                )
             else:
-                payloads = [self.codec.leaf_payload(o) for o in objs]
-            tree = Merkle(payloads)
+                if r == 0 and leaf_objs0 is not None:
+                    objs = leaf_objs0
+                else:
+                    objs = [_xleaf(codeword[i]) for i in range(N)]
+                tree = Merkle([self.codec.leaf_payload(o) for o in objs])
             if r > 0:
                 proof_stream.push(tree.root())
             if r == self.num_rounds() - 1:
@@ -143,7 +162,11 @@ class Fri:
             omega = f.h_mul(omega, omega)
             offset = f.h_mul(offset, offset)
 
-        proof_stream.push(leaf_objs[-1])
+        last = leaf_objs[-1]
+        if isinstance(last, _LazyLeaves):
+            last = [last[i] for i in range(len(last))]
+            leaf_objs[-1] = last
+        proof_stream.push(last)
         codewords.append(codeword)
         return codewords, leaf_objs, trees
 

@@ -315,12 +315,27 @@ class BrainfuckStark:
         Extension LDEs share one batched forward NTT like the base stage."""
         from ..ops import ntt as nt
 
+        from ..ops import scan as sc
+
         N = self.fri.domain.length
+
+        # all tables' extension recurrences as lanes of ONE batched scan
+        all_lanes = []
+        lane_slices = []
+        for t, m in zip(self.tables, mats):
+            lanes = t.extend_lanes(m, challenges, initials, xp)
+            lane_slices.append((len(all_lanes), len(all_lanes) + len(lanes)))
+            all_lanes += lanes
+        all_outs = sc.batched_affine_scan(all_lanes, xp)
+
         term_arrays = []
         rows = []
         layout = []  # (table_index, n_ext) in order
         for i, (t, m, r) in enumerate(zip(self.tables, mats, ext_rands)):
-            cols, terms = t.extend_pure(m, challenges, initials, xp)
+            lo, hi = lane_slices[i]
+            cols, terms = t.extend_finish(
+                m, challenges, initials, all_outs[lo:hi], xp
+            )
             term_arrays.append(terms)
             if t.height == 0:
                 layout.append((i, 0))

@@ -38,20 +38,24 @@ class Rng:
         return f.sample_bytes(self.bytes(24))
 
     def base_elements(self, shape) -> np.ndarray:
-        out = np.empty(int(np.prod(shape)), dtype=np.uint64)
-        for i in range(out.size):
-            out[i] = self.base_element()
-        return out.reshape(shape)
+        n = int(np.prod(shape))
+        return self._uniform_mod_p(n).reshape(shape)
 
     def x_element(self, chunk: int = 8) -> tuple:
         return xf.h_sample(self.bytes(3 * chunk))
 
     def x_elements(self, shape, chunk: int = 8) -> np.ndarray:
         n = int(np.prod(shape))
-        out = np.empty((n, 3), dtype=np.uint64)
-        for i in range(n):
-            out[i] = self.x_element(chunk)
-        return out.reshape(tuple(shape) + (3,))
+        return self._uniform_mod_p(3 * n).reshape(tuple(shape) + (3,))
+
+    def _uniform_mod_p(self, n: int) -> np.ndarray:
+        """n uniform field elements from one bulk draw, vectorized:
+        9 random bytes per element reduced via 2^64 ≡ 2^32 - 1 (mod p)."""
+        raw = np.frombuffer(self.bytes(9 * n), dtype=np.uint8).reshape(n, 9)
+        lo = raw[:, :8].copy().view("<u8").reshape(n)
+        hi = raw[:, 8].astype(np.uint64)
+        lo = np.where(lo >= f.P, lo - f.U64(f.P), lo)
+        return f.add(f.mul(hi, f.U64(0xFFFFFFFF), np), lo, np)
 
     def salts(self, count: int, length: int = 24) -> list:
         return [self.bytes(length) for _ in range(count)]
