@@ -13,23 +13,18 @@ import threading
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "hashing.cpp")
-_SO = os.path.join(_DIR, "_hashing.so")
 
 _lock = threading.Lock()
-_lib = None
-_tried = False
+_libs = {}
 
 
-def _build() -> bool:
+def _build(src: str, so: str) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-        "-o", _SO, _SRC,
+        "-o", so, src,
     ]
     try:
-        subprocess.run(
-            cmd, check=True, capture_output=True, timeout=120
-        )
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
     except Exception:
         try:  # retry without -march=native (portability)
@@ -42,22 +37,30 @@ def _build() -> bool:
             return False
 
 
+def _load(name: str) -> Optional[ctypes.CDLL]:
+    src = os.path.join(_DIR, f"{name}.cpp")
+    so = os.path.join(_DIR, f"_{name}.so")
+    with _lock:
+        if name in _libs:
+            return _libs[name]
+        lib = None
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+            pass
+        elif not _build(src, so):
+            _libs[name] = None
+            return None
+        try:
+            lib = ctypes.CDLL(so)
+        except OSError:
+            lib = None
+        _libs[name] = lib
+        return lib
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
     """The native hashing library, or None when unavailable."""
-    global _lib, _tried
-    with _lock:
-        if _lib is not None or _tried:
-            return _lib
-        _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
-        ):
-            if not _build():
-                return None
-        try:
-            lib = ctypes.CDLL(_SO)
-        except OSError:
-            return None
+    lib = _load("hashing")
+    if lib is not None and not hasattr(lib, "_sig_done"):
         lib.blake2b_many.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p,
         ]
@@ -67,5 +70,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.merkle_from_payloads.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_char_p,
         ]
-        _lib = lib
-        return _lib
+        lib._sig_done = True
+    return lib
+
+
+def get_vm_lib() -> Optional[ctypes.CDLL]:
+    """The native Brainfuck trace recorder, or None when unavailable."""
+    lib = _load("vm")
+    if lib is not None and not hasattr(lib, "_sig_done"):
+        lib.vm_simulate.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ]
+        lib.vm_simulate.restype = ctypes.c_int
+        for fn in (
+            "vm_processor_rows", "vm_instruction_rows", "vm_memory_rows",
+            "vm_input_rows", "vm_output_rows",
+        ):
+            getattr(lib, fn).restype = ctypes.c_size_t
+        lib.vm_fill.argtypes = [ctypes.c_void_p] * 5
+        lib._sig_done = True
+    return lib

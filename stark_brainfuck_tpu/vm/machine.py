@@ -112,8 +112,12 @@ class VirtualMachine:
         return running_time, input_data, "".join(out)
 
     @staticmethod
-    def simulate(program: List[int], input_data: str = ""):
+    def simulate(program: List[int], input_data: str = "", native: bool = True):
         """Execute while recording the algebraic execution trace.
+
+        Uses the C++ recorder (native/vm.cpp) when available — the python
+        loop costs ~1 µs/cycle, which at 2^20+ cycles dominates setup; the
+        native path is ~100x faster and byte-identical.
 
         Returns a dict of numpy uint64 matrices:
           processor   (T+1, 7)  — clk, ip, ci, ni, mp, mv, mvi per cycle
@@ -122,6 +126,10 @@ class VirtualMachine:
           input       (I, 1), output (O, 1)
         plus output_data string.
         """
+        if native:
+            out = _simulate_native(program, input_data)
+            if out is not None:
+                return out
         n = len(program)
         ip = 0
         mp = 0
@@ -199,6 +207,45 @@ class VirtualMachine:
             "output": outp,
             "output_data": "".join(out_chars),
         }
+
+
+def _simulate_native(program: List[int], input_data: str):
+    """C++ trace recorder (native/vm.cpp); returns None if unavailable or
+    on VM error (the python path then reproduces the error message)."""
+    import ctypes
+
+    from ..native import get_vm_lib
+
+    lib = get_vm_lib()
+    if lib is None:
+        return None
+    prog = np.asarray(program, dtype=U64)
+    inp = input_data.encode("latin-1")
+    rc = lib.vm_simulate(
+        prog.ctypes.data_as(ctypes.c_void_p), len(program), inp, len(inp)
+    )
+    if rc != 0:
+        return None
+    processor = np.empty((lib.vm_processor_rows(), 7), dtype=U64)
+    instruction = np.empty((lib.vm_instruction_rows(), 3), dtype=U64)
+    memory = np.empty((lib.vm_memory_rows(), 4), dtype=U64)
+    inp_rows = np.empty((lib.vm_input_rows(), 1), dtype=U64)
+    out_rows = np.empty((lib.vm_output_rows(), 1), dtype=U64)
+    lib.vm_fill(
+        processor.ctypes.data_as(ctypes.c_void_p),
+        instruction.ctypes.data_as(ctypes.c_void_p),
+        memory.ctypes.data_as(ctypes.c_void_p),
+        inp_rows.ctypes.data_as(ctypes.c_void_p),
+        out_rows.ctypes.data_as(ctypes.c_void_p),
+    )
+    return {
+        "processor": processor,
+        "memory": memory,
+        "instruction": instruction,
+        "input": inp_rows,
+        "output": out_rows,
+        "output_data": "".join(chr(int(v) % 256) for v in out_rows[:, 0]),
+    }
 
 
 def derive_memory_matrix(processor: np.ndarray) -> np.ndarray:
