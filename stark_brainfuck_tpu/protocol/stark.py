@@ -524,21 +524,10 @@ class BrainfuckStark:
         fri = self.fri
         N = fri.domain.length
 
-        import os as _os
-        import sys as _sys
-        import time as _time
+        from ..utils.metrics import StageTimer
 
-        _profile = _os.environ.get("STARK_PROFILE") is not None
-        _last = [_time.time()]
-
-        def _mark(label):
-            if _profile:
-                now = _time.time()
-                print(
-                    f"[prove] {label}: {now - _last[0]:.2f}s",
-                    file=_sys.stderr, flush=True,
-                )
-                _last[0] = now
+        timer = StageTimer()
+        _mark = timer.mark
 
         def staged(name, fn):
             return self._jitted(name, fn) if use_jit else fn
@@ -795,7 +784,16 @@ class BrainfuckStark:
         self.fri.prove(combination, proof_stream, leaf_objs0=comb_leaf_objs0)
         _mark("fri.prove")
 
-        return proof_stream.serialize()
+        proof = proof_stream.serialize()
+        _mark("serialize")
+        T = self.tables[0].height
+        self.last_metrics = timer.report(
+            fri_domain=N,
+            trace_height=T,
+            cycles_per_s=round(T / timer.total(), 2),
+            proof_bytes=len(proof),
+        )
+        return proof
 
     # ------------------------------------------------------------------
     # verifier
