@@ -40,6 +40,24 @@ class TwiddlePack(NamedTuple):
     n_inv: Optional[object] = None  # (1,) u64 — set for inverse transforms
 
 
+class FourStepPack(NamedTuple):
+    """Tables for a four-step NTT of size n = R·C: two small sub-packs and
+    the (R, C) inter-step twiddle matrix T[k1, c] = root^(c·k1).
+
+    Large monolithic butterfly networks accumulate compile cost in their
+    small-stride stages (lane-granularity concats over N-sized arrays);
+    factoring into two ~sqrt(N) batched NTTs plus transposes keeps every
+    stage's minor dimension <= C and the compile time flat."""
+
+    pack_r: TwiddlePack
+    pack_c: TwiddlePack
+    twiddle: object  # (R, C) u64 — R, C are recovered from this shape
+    n_inv: Optional[object] = None
+
+
+FOUR_STEP_MIN = 1 << 14
+
+
 @lru_cache(maxsize=None)
 def _bitrev_permutation(n: int) -> np.ndarray:
     logn = n.bit_length() - 1
@@ -63,9 +81,15 @@ def _stage_twiddles_np(n: int, root: int) -> tuple:
     return tuple(tables)
 
 
-def make_pack(n: int, root: int, inverse: bool = False, xp=np) -> TwiddlePack:
+def make_pack(n: int, root: int, inverse: bool = False, xp=np):
     """Build (and convert to the target backend) the twiddle pack for a
-    size-n transform."""
+    size-n transform; large sizes get a FourStepPack."""
+    if n >= FOUR_STEP_MIN:
+        return _make_four_step_pack(n, root, inverse, xp)
+    return _make_small_pack(n, root, inverse, xp)
+
+
+def _make_small_pack(n: int, root: int, inverse: bool, xp) -> TwiddlePack:
     if n <= 1:
         return TwiddlePack(
             perm=xp.zeros((max(n, 1),), dtype=xp.int32), stages=(),
@@ -84,10 +108,33 @@ def make_pack(n: int, root: int, inverse: bool = False, xp=np) -> TwiddlePack:
     return TwiddlePack(perm=perm, stages=stages, n_inv=n_inv)
 
 
-def ntt_with(values, pack: TwiddlePack, xp=np):
+def _make_four_step_pack(n: int, root: int, inverse: bool, xp) -> FourStepPack:
+    logn = n.bit_length() - 1
+    R = 1 << (logn // 2)
+    C = n // R
+    r = f.h_inverse(root) if inverse else root
+    pack_r = _make_small_pack(R, f.h_pow(r, C), False, xp)
+    pack_c = _make_small_pack(C, f.h_pow(r, R), False, xp)
+    pw = f.powers(r, n, np)
+    k1 = np.arange(R, dtype=np.int64)[:, None]
+    c = np.arange(C, dtype=np.int64)[None, :]
+    T = np.ascontiguousarray(pw[(k1 * c) % n])
+    n_inv = None
+    if inverse:
+        n_inv = np.asarray([f.h_inverse(n % P)], dtype=U64)
+    if xp is not np:
+        T = xp.asarray(T)
+        n_inv = None if n_inv is None else xp.asarray(n_inv)
+    return FourStepPack(pack_r=pack_r, pack_c=pack_c, twiddle=T, n_inv=n_inv)
+
+
+def ntt_with(values, pack, xp=np):
     """Transform along the last axis using a precomputed pack.
     Forward: out[k] = Σ_j v[j]·root^(jk); if pack.n_inv is set the result is
-    scaled by it (inverse transform)."""
+    scaled by it (inverse transform). Dispatches to the four-step algorithm
+    for FourStepPack."""
+    if isinstance(pack, FourStepPack):
+        return _ntt_four_step(values, pack, xp)
     n = values.shape[-1]
     if n <= 1:
         return values
@@ -109,6 +156,28 @@ def ntt_with(values, pack: TwiddlePack, xp=np):
     if pack.n_inv is not None:
         x = f.mul(x, pack.n_inv[0], xp)
     return x
+
+
+def _ntt_four_step(values, pack: FourStepPack, xp):
+    """Size-n = R·C NTT as: column DFT_R → twiddle → row DFT_C → transpose.
+    With x[j] = X[r, c] at j = r·C + c, the output in natural order is the
+    (C, R) row-major flatten of Z[k1][k2] (see parallel/dntt.py for the
+    index derivation; this is its communication-free single-device form)."""
+    shape = values.shape
+    R, C = pack.twiddle.shape
+    n = R * C
+    B = int(np.prod(shape[:-1])) if len(shape) > 1 else 1
+    x = values.reshape((B, R, C))
+    y = xp.swapaxes(x, 1, 2)  # (B, C, R)
+    y = ntt_with(y, pack.pack_r, xp)  # DFT over r; y[b, c, k1]
+    y = f.mul(y, xp.swapaxes(pack.twiddle, 0, 1)[None], xp)
+    y = xp.swapaxes(y, 1, 2)  # (B, k1, c)
+    y = ntt_with(y, pack.pack_c, xp)  # DFT over c; y[b, k1, k2]
+    y = xp.swapaxes(y, 1, 2)  # (B, k2, k1) — natural order flatten
+    out = y.reshape(shape[:-1] + (n,))
+    if pack.n_inv is not None:
+        out = f.mul(out, pack.n_inv[0], xp)
+    return out
 
 
 # -- convenience wrappers (host-side / tests): root given as an int ---------
