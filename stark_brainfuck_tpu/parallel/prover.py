@@ -121,9 +121,15 @@ def make_prove_core(bfs: BrainfuckStark, mesh=None, xp=None):
         )
         rand_cw = constrain(rand_cw, 0)
         base_cws = tuple(constrain(cw, 1) for cw in base_cws)
-        ext_cws, term_arrays = bfs._stage_extend_lde(
-            mats, challenges, initials, ext_rands, packs, xp
-        )
+        # extension columns in-graph (scans at tiny dry-run shapes), then
+        # the shared ext LDE stage
+        xcols = []
+        term_arrays = []
+        for t, m in zip(bfs.tables, mats):
+            cols, terms = t.extend_pure(m, challenges, initials, xp)
+            xcols.append(cols)
+            term_arrays.append(terms)
+        ext_cws = bfs._stage_ext_lde(tuple(xcols), ext_rands, packs, xp)
         ext_cws = tuple(constrain(cw, 1) for cw in ext_cws)
         acc = bfs._stage_combination(
             rand_cw, base_cws, ext_cws, challenges, terminals, weights,

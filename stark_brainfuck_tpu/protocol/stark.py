@@ -310,33 +310,52 @@ class BrainfuckStark:
             pos += t.base_width
         return rand_cw, tuple(base_cws)
 
-    def _stage_extend_lde(self, mats, challenges, initials, ext_rands, packs, xp):
-        """Extension columns (parallel scans) + their codewords + terminals.
-        Extension LDEs share one batched forward NTT like the base stage."""
-        from ..ops import ntt as nt
+    def _host_extend(self, challenges_h, initials_h):
+        """All tables' extension columns via ONE batched vectorized numpy
+        scan on the host. Extension-column scan work is O(H log H) — tiny
+        next to the O(N log N) LDE (N ~ 64H) — and running it host-side
+        removes the scans from the compiled graphs entirely (their
+        small-stride shift/concat layers dominated device compile time).
 
+        Stores xcolumns/terminals on the tables; returns (xcols, terms)."""
         from ..ops import scan as sc
 
-        N = self.fri.domain.length
-
-        # all tables' extension recurrences as lanes of ONE batched scan
+        ch = np.asarray(challenges_h, dtype=U64)
+        ini = np.asarray(initials_h, dtype=U64)
         all_lanes = []
         lane_slices = []
-        for t, m in zip(self.tables, mats):
-            lanes = t.extend_lanes(m, challenges, initials, xp)
+        for t in self.tables:
+            lanes = t.extend_lanes(np.asarray(t.matrix), ch, ini, np)
             lane_slices.append((len(all_lanes), len(all_lanes) + len(lanes)))
             all_lanes += lanes
-        all_outs = sc.batched_affine_scan(all_lanes, xp)
+        all_outs = sc.batched_affine_scan(all_lanes, np)
 
+        xcols = []
         term_arrays = []
-        rows = []
-        layout = []  # (table_index, n_ext) in order
-        for i, (t, m, r) in enumerate(zip(self.tables, mats, ext_rands)):
+        for i, t in enumerate(self.tables):
             lo, hi = lane_slices[i]
             cols, terms = t.extend_finish(
-                m, challenges, initials, all_outs[lo:hi], xp
+                np.asarray(t.matrix), ch, ini, all_outs[lo:hi], np
             )
+            t.xcolumns = cols
+            terms = np.asarray(terms)
+            t.terminals = {
+                n: tuple(int(v) for v in terms[j])
+                for j, n in enumerate(t.terminal_names)
+            }
+            xcols.append(np.asarray(cols))
             term_arrays.append(terms)
+        return xcols, term_arrays
+
+    def _stage_ext_lde(self, xcols, ext_rands, packs, xp):
+        """Extension LDE over precomputed extension columns; all tables
+        share one batched forward NTT like the base stage."""
+        from ..ops import ntt as nt
+
+        N = self.fri.domain.length
+        rows = []
+        layout = []  # (table_index, n_ext) in order
+        for i, (t, cols, r) in enumerate(zip(self.tables, xcols, ext_rands)):
             if t.height == 0:
                 layout.append((i, 0))
                 continue
@@ -368,7 +387,7 @@ class BrainfuckStark:
             block = all_cws[pos : pos + 3 * n_ext].reshape((n_ext, 3, N))
             ext_cws.append(xp.moveaxis(block, 1, -1))  # (n_ext, N, 3)
             pos += 3 * n_ext
-        return tuple(ext_cws), tuple(term_arrays)
+        return tuple(ext_cws)
 
     def _stage_combination(
         self,
@@ -604,7 +623,7 @@ class BrainfuckStark:
         # 6. secret initials for the two permutation arguments (ref :186-187)
         initials_h = [rng.x_element(chunk=8) for _ in range(2)]
 
-        # 7-8. extend tables + extension LDE (ref :189-199), one fused stage
+        # 7. extend tables via the host batched scan (ref :189-190)
         ext_rands = tuple(
             xp.asarray(rng.x_elements((t.num_ext_columns, t.num_randomizers)))
             if t.num_randomizers > 0 and t.height > 0
@@ -612,24 +631,18 @@ class BrainfuckStark:
             for t in self.tables
         )
         challenges_arr = xp.asarray(np.asarray(challenges_h, dtype=U64))
-        initials_arr = xp.asarray(np.asarray(initials_h, dtype=U64))
-        stage_b = staged(
-            "extend_lde",
-            lambda m_, ch, ini, er, pk: self._stage_extend_lde(
-                m_, ch, ini, er, pk, xp
-            ),
-        )
-        ext_codewords_per_table, term_arrays = stage_b(
-            mats, challenges_arr, initials_arr, ext_rands, packs
-        )
-        _mark("stage_b (extend+ext LDE)")
-        for t, terms in zip(self.tables, term_arrays):
-            terms = np.asarray(terms)
-            t.terminals = {
-                n: tuple(int(v) for v in terms[i])
-                for i, n in enumerate(t.terminal_names)
-            }
+        xcols_np, _ = self._host_extend(challenges_h, initials_h)
+        _mark("host extend (batched scans)")
         terminals_h = self._terminals_list()
+
+        # 8. extension LDE on device (ref :194-199)
+        xcols_dev = tuple(xp.asarray(c) for c in xcols_np)
+        stage_b = staged(
+            "ext_lde",
+            lambda xc, er, pk: self._stage_ext_lde(xc, er, pk, xp),
+        )
+        ext_codewords_per_table = stage_b(xcols_dev, ext_rands, packs)
+        _mark("stage_b (ext LDE)")
 
         ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
         zipped_ext = np.concatenate(
