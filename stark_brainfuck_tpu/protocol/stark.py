@@ -872,113 +872,111 @@ class BrainfuckStark:
                     return False
                 tuples[idx] = tuples[idx] + [tuple(e) for e in element]
 
-        # -- recompute the combination at each index (ref :445-569) ---------
-        for index in indices:
-            row = tuples[index]
-            terms: List[tuple] = [row[0]]  # randomizer
-            x_i = fri.domain(index)
-            for i in range(num_base):
-                val = row[1 + i]
-                terms.append(xf.h_from_base(val))
-                shift = self.max_degree - base_degree_bounds[i]
-                terms.append(
-                    xf.h_from_base(f.h_mul(val, f.h_pow(x_i, shift)))
-                )
-            ext_offset = 1 + num_base
-            for i in range(num_ext):
-                val = row[ext_offset + i]
-                terms.append(val)
-                shift = self.max_degree - ext_degree_bounds[i]
-                terms.append(xf.h_mul(val, xf.h_from_base(f.h_pow(x_i, shift))))
+        # -- recompute the combination, vectorized over all indices ---------
+        # (ref :445-569 does this per index with symbolic evaluation; here
+        # one lane per query index runs through the same array-interpreted
+        # constraint builders — O(constraints) vectorized ops total, flat in
+        # the security level)
+        K = len(indices)
+        alg = ArrayAlgebra(np)
+        ch_vals = [alg.x(np.asarray(c, dtype=U64)) for c in challenges_h]
+        tm_vals = [alg.x(np.asarray(t_, dtype=U64)) for t_ in terminals_h]
+        xs = np.asarray([fri.domain(i) for i in indices], dtype=U64)  # (K,)
+        one = np.asarray(1, dtype=U64)
 
-            # per-table points (base + ext columns)
-            points = []
-            acc_base = 1
-            acc_ext = ext_offset
-            for t in self.tables:
-                pt = [xf.h_from_base(v) for v in row[acc_base : acc_base + t.base_width]]
-                pt += row[acc_ext : acc_ext + t.num_ext_columns]
-                points.append(pt)
-                acc_base += t.base_width
-                acc_ext += t.num_ext_columns
+        rand_arr = np.asarray([tuples[i][0] for i in indices], dtype=U64)
+        ext_offset = 1 + num_base
 
-            acc_base = 1
-            acc_ext = ext_offset
-            for t, point in zip(self.tables, points):
-                # boundary quotients
-                b_constraints = t.symbolic_boundary_constraints(challenges_h)
-                b_bounds = t.boundary_quotient_degree_bounds(challenges_h)
-                inv_xm1 = xf.h_from_base(f.h_inverse(f.h_sub(x_i, 1)))
-                for cstr, bound in zip(b_constraints, b_bounds):
-                    q = xf.h_mul(cstr.evaluate(point), inv_xm1)
-                    terms.append(q)
-                    shift = self.max_degree - bound
-                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
+        def col_base(col, idx_list):
+            return np.asarray([tuples[i][1 + col] for i in idx_list], dtype=U64)
 
-                # transition quotients (need the shifted-row point)
-                ud = t.unit_distance(N)
-                next_index = (index + ud) % N
-                nrow = tuples[next_index]
-                npt = [
-                    xf.h_from_base(v)
-                    for v in nrow[acc_base : acc_base + t.base_width]
-                ]
-                npt += nrow[acc_ext : acc_ext + t.num_ext_columns]
-                acc_base += t.base_width
-                acc_ext += t.num_ext_columns
-
-                t_constraints = t.symbolic_transition_constraints(challenges_h)
-                t_bounds = t.transition_quotient_degree_bounds(challenges_h)
-                for cstr, bound in zip(t_constraints, t_bounds):
-                    ev = cstr.evaluate(point + npt)
-                    if t.height == 0:
-                        q = xf.H_ZERO
-                    else:
-                        o_inv = f.h_inverse(t.omicron)
-                        num = f.h_sub(x_i, o_inv)
-                        den = f.h_inverse(
-                            f.h_sub(f.h_pow(x_i, t.height), 1)
-                        )
-                        q = xf.h_mul(ev, xf.h_from_base(f.h_mul(num, den)))
-                    terms.append(q)
-                    shift = self.max_degree - bound
-                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
-
-                # terminal quotients
-                tm_constraints = t.symbolic_terminal_constraints(
-                    challenges_h, terminals_h
-                )
-                tm_bounds = t.terminal_quotient_degree_bounds(
-                    challenges_h, terminals_h
-                )
-                o_inv = f.h_inverse(t.omicron) if t.height > 0 else 1
-                inv_xmo = xf.h_from_base(f.h_inverse(f.h_sub(x_i, o_inv)))
-                for cstr, bound in zip(tm_constraints, tm_bounds):
-                    q = xf.h_mul(cstr.evaluate(point), inv_xmo)
-                    terms.append(q)
-                    shift = self.max_degree - bound
-                    terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
-
-            # permutation-argument difference quotients (ref :540-547)
-            col_in_point = {(0, 7): 7, (0, 8): 8, (1, 3): 3, (2, 4): 4}
-            for pa in self.permutation_arguments:
-                lhs = points[pa.lhs[0]][col_in_point[pa.lhs]]
-                rhs = points[pa.rhs[0]][col_in_point[pa.rhs]]
-                q = xf.h_mul(
-                    xf.h_sub(lhs, rhs),
-                    xf.h_from_base(f.h_inverse(f.h_sub(x_i, 1))),
-                )
-                terms.append(q)
-                shift = self.max_degree - pa.quotient_degree_bound()
-                terms.append(xf.h_mul(q, xf.h_from_base(f.h_pow(x_i, shift))))
-
-            assert len(terms) == len(weights_h), (
-                f"term count {len(terms)} != weight count {len(weights_h)}"
+        def col_ext(col, idx_list):
+            return np.asarray(
+                [tuples[i][ext_offset + col] for i in idx_list], dtype=U64
             )
-            inner = xf.H_ZERO
-            for w_, t_ in zip(weights_h, terms):
-                inner = xf.h_add(inner, xf.h_mul(w_, t_))
 
+        widx = 0
+        inner = np.zeros((K, 3), dtype=U64)
+
+        def add_term(arr):
+            """arr: (K,) base or (K, 3) extension."""
+            nonlocal widx, inner
+            w = np.asarray(weights_h[widx], dtype=U64)
+            widx += 1
+            wb = np.broadcast_to(w[None, :], (K, 3))
+            if arr.ndim == 1:
+                inner = xf.add(inner, xf.mul_base(wb, arr, np), np)
+            else:
+                inner = xf.add(inner, xf.mul(wb, arr, np), np)
+
+        def shifted(arr, bound):
+            ps = f.pow_const(xs, self.max_degree - bound, np)
+            if arr.ndim == 1:
+                return f.mul(arr, ps, np)
+            return xf.mul_base(arr, ps, np)
+
+        add_term(rand_arr)
+        for i in range(num_base):
+            v = col_base(i, indices)
+            add_term(v)
+            add_term(shifted(v, base_degree_bounds[i]))
+        for i in range(num_ext):
+            v = col_ext(i, indices)
+            add_term(v)
+            add_term(shifted(v, ext_degree_bounds[i]))
+
+        inv_xm1 = f.inverse(f.sub(xs, one, np), np)
+        acc_base = 0
+        acc_ext = 0
+        points = []
+        for t in self.tables:
+            ud = t.unit_distance(N)
+            nidx = [(i + ud) % N for i in indices]
+            point = [alg.base(col_base(acc_base + j, indices)) for j in range(t.base_width)]
+            point += [alg.x(col_ext(acc_ext + j, indices)) for j in range(t.num_ext_columns)]
+            point_next = [alg.base(col_base(acc_base + j, nidx)) for j in range(t.base_width)]
+            point_next += [alg.x(col_ext(acc_ext + j, nidx)) for j in range(t.num_ext_columns)]
+            points.append(point)
+            acc_base += t.base_width
+            acc_ext += t.num_ext_columns
+
+            o_inv = f.h_inverse(t.omicron) if t.height > 0 else 1
+            x_minus_oinv = f.sub(xs, np.asarray(o_inv, dtype=U64), np)
+            if t.height > 0:
+                transition_zinv = f.mul(
+                    x_minus_oinv,
+                    f.inverse(f.sub(f.pow_const(xs, t.height, np), one, np), np),
+                    np,
+                )
+            else:
+                transition_zinv = np.zeros((K,), dtype=U64)
+            zinv = {
+                "boundary": inv_xm1,
+                "transition": transition_zinv,
+                "terminal": f.inverse(x_minus_oinv, np),
+            }
+            quotients = t.quotients(
+                alg, point, point_next, ch_vals, tm_vals, zinv
+            )
+            bounds = t.all_quotient_degree_bounds(challenges_h, terminals_h)
+            for q, bound in zip(quotients, bounds):
+                add_term(q)
+                add_term(shifted(q, bound))
+
+        # permutation-argument difference quotients (ref :540-547)
+        col_in_point = {(0, 7): 7, (0, 8): 8, (1, 3): 3, (2, 4): 4}
+        for pa in self.permutation_arguments:
+            lhs = points[pa.lhs[0]][col_in_point[pa.lhs]].arr
+            rhs = points[pa.rhs[0]][col_in_point[pa.rhs]].arr
+            q = xf.mul_base(xf.sub(lhs, rhs, np), inv_xm1, np)
+            add_term(q)
+            add_term(shifted(q, pa.quotient_degree_bound()))
+
+        assert widx == len(weights_h), (
+            f"term count {widx} != weight count {len(weights_h)}"
+        )
+
+        for k, index in enumerate(indices):
             combination_leaf = proof_stream.pull()
             combination_path = proof_stream.pull()
             if not Merkle.verify(
@@ -986,7 +984,7 @@ class BrainfuckStark:
                 self.codec.leaf_payload(combination_leaf),
             ):
                 return False
-            if combination_leaf != inner:
+            if tuple(combination_leaf) != tuple(int(v) for v in inner[k]):
                 return False
 
         # -- FRI (ref :572) --------------------------------------------------

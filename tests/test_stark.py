@@ -170,3 +170,31 @@ def test_mallory_forged_trace_rejected():
     except AssertionError:
         return  # prover refusing the inconsistent trace is also a pass
     assert not bfs.verify(proof), "Mallory's proof must fail to verify"
+
+
+def test_production_security_level():
+    """Real security parameters (expansion 16, lambda=64 -> 16 colinearity
+    checks; the FRI last codeword caps checks at 2*expansion, the same
+    structural limit as the reference) prove and verify; the vectorized
+    verifier stays fast as lambda grows."""
+    import time
+
+    program = VirtualMachine.compile("+>[+<-]")
+    trace = VirtualMachine.simulate(program)
+    bfs = BrainfuckStark(
+        running_time=trace["processor"].shape[0],
+        memory_length=trace["memory"].shape[0],
+        program=program,
+        input_symbols="",
+        output_symbols=trace["output_data"],
+        config=StarkConfig(
+            seed=0, security_level=64, log_expansion_factor=4
+        ),
+    )
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+    t0 = time.time()
+    assert bfs.verify(proof)
+    assert time.time() - t0 < 10, "verification must stay fast at higher lambda"
