@@ -421,43 +421,10 @@ class BrainfuckStark:
         ch_vals = [alg.x(challenges[i]) for i in range(11)]
         tm_vals = [alg.x(terminals[i]) for i in range(5)]
 
-        # ---- quotient codewords (never leave the device) ----
-        q_terms = []
-        for ti, (t, base_cw, ext_cw) in enumerate(
-            zip(self.tables, base_cws, ext_cws)
-        ):
-            ud = t.unit_distance(N)
-            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
-            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
-            point_next = [
-                alg.base(xp.roll(base_cw[j], -ud, axis=0))
-                for j in range(t.base_width)
-            ]
-            point_next += [
-                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
-                for j in range(t.num_ext_columns)
-            ]
-            zinv = {
-                "boundary": zinv_flat[3 * ti],
-                "transition": zinv_flat[3 * ti + 1],
-                "terminal": zinv_flat[3 * ti + 2],
-            }
-            q_terms += t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
-
-        ext_col_lookup = {
-            (0, 7): ext_cws[0][0], (0, 8): ext_cws[0][1],
-            (1, 3): ext_cws[1][0], (2, 4): ext_cws[2][0],
-        }
-        boundary_zinv = zinv_flat[0]
-        for pa in self.permutation_arguments:
-            diff = xf.sub(ext_col_lookup[pa.lhs], ext_col_lookup[pa.rhs], xp)
-            q_terms.append(xf.mul_base(diff, boundary_zinv, xp))
-
-        # ---- weighted sum ----
         num_base = sum(cw.shape[0] for cw in base_cws)
-        num_terms = num_base + sum(cw.shape[0] for cw in ext_cws) + len(q_terms)
+        num_ext = sum(cw.shape[0] for cw in ext_cws)
+        num_terms = shifts.shape[0]
         assert weights.shape[0] == 1 + 2 * num_terms
-        assert shifts.shape[0] == num_terms
         w_pairs = weights[1:].reshape(num_terms, 2, 3)
 
         iota = xp.arange(N, dtype=xp.int64)
@@ -490,6 +457,16 @@ class BrainfuckStark:
             xp.broadcast_to(weights[0][None, :], (N, 3)), rand_cw, xp
         )
 
+        def accumulate_ext_stack(stack, term_offset):
+            """Fold a stacked (T, N, 3) term group into acc, chunked."""
+            nonlocal acc
+            for start in range(0, stack.shape[0], chunk):
+                stop = min(start + chunk, stack.shape[0])
+                c = coeffs(term_offset + start, term_offset + stop)
+                contrib = xf.mul(c, stack[start:stop], xp)
+                acc = xf.add(acc, tree_sum(contrib), xp)
+            return stack.shape[0]
+
         # base stream: (num_base, N) stacked
         base_stack = xp.concatenate(list(base_cws), axis=0)
         for start in range(0, num_base, chunk):
@@ -498,16 +475,53 @@ class BrainfuckStark:
             contrib = xf.mul_base(c, base_stack[start:stop], xp)
             acc = xf.add(acc, tree_sum(contrib), xp)
 
-        # extension + quotient stream: (T_e, N, 3) stacked
-        ext_stack = xp.concatenate(
-            list(ext_cws) + [q[None, :, :] for q in q_terms], axis=0
-        )
-        for start in range(0, ext_stack.shape[0], chunk):
-            stop = min(start + chunk, ext_stack.shape[0])
-            c = coeffs(num_base + start, num_base + stop)
-            contrib = xf.mul(c, ext_stack[start:stop], xp)
-            acc = xf.add(acc, tree_sum(contrib), xp)
+        # extension columns
+        term_pos = num_base
+        term_pos += accumulate_ext_stack(xp.concatenate(list(ext_cws), axis=0),
+                                         term_pos)
 
+        # quotients, one table at a time so only one table's quotient
+        # codewords are ever materialized (memory: O(max constraints · N)
+        # instead of O(total constraints · N))
+        for ti, (t, base_cw, ext_cw) in enumerate(
+            zip(self.tables, base_cws, ext_cws)
+        ):
+            ud = t.unit_distance(N)
+            point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+            point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+            point_next = [
+                alg.base(xp.roll(base_cw[j], -ud, axis=0))
+                for j in range(t.base_width)
+            ]
+            point_next += [
+                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
+                for j in range(t.num_ext_columns)
+            ]
+            zinv = {
+                "boundary": zinv_flat[3 * ti],
+                "transition": zinv_flat[3 * ti + 1],
+                "terminal": zinv_flat[3 * ti + 2],
+            }
+            q_terms = t.quotients(
+                alg, point, point_next, ch_vals, tm_vals, zinv
+            )
+            term_pos += accumulate_ext_stack(
+                xp.stack(q_terms, axis=0), term_pos
+            )
+
+        # permutation-argument difference quotients
+        ext_col_lookup = {
+            (0, 7): ext_cws[0][0], (0, 8): ext_cws[0][1],
+            (1, 3): ext_cws[1][0], (2, 4): ext_cws[2][0],
+        }
+        boundary_zinv = zinv_flat[0]
+        pa_terms = []
+        for pa in self.permutation_arguments:
+            diff = xf.sub(ext_col_lookup[pa.lhs], ext_col_lookup[pa.rhs], xp)
+            pa_terms.append(xf.mul_base(diff, boundary_zinv, xp))
+        term_pos += accumulate_ext_stack(xp.stack(pa_terms, axis=0), term_pos)
+
+        assert term_pos == num_terms, "term/shift bookkeeping mismatch"
         return acc
 
     def _jitted(self, name, fn):
