@@ -127,3 +127,38 @@ def test_reference_proof_regenerated_live():
     assert bfs.verify(ref_proof), (
         "our verifier must accept the reference prover's proof"
     )
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_our_io_proof_accepted_by_reference_verifier():
+    """I/O programs exercise the IO tables' iota^(height-length) terminal
+    offsets and the input/output evaluation arguments across the format
+    boundary."""
+    add_reference_to_path()
+
+    src, inp = ",+.", "a"
+    program = VirtualMachine.compile(src)
+    trace = VirtualMachine.simulate(program, inp)
+    bfs = BrainfuckStark(
+        running_time=trace["processor"].shape[0],
+        memory_length=trace["memory"].shape[0],
+        program=program,
+        input_symbols=inp,
+        output_symbols=trace["output_data"],
+        config=StarkConfig(seed=0, codec="ref"),
+    )
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+    assert bfs.verify(proof)
+
+    from brainfuck_stark import BrainfuckStark as RefStark
+    from vm import VirtualMachine as RefVM
+
+    ref_program = RefVM.compile(src)
+    ref = RefStark(
+        trace["processor"].shape[0], trace["memory"].shape[0], ref_program,
+        list(inp), list(trace["output_data"]),
+    )
+    assert ref.verify(proof)
