@@ -162,3 +162,47 @@ def test_our_io_proof_accepted_by_reference_verifier():
         list(inp), list(trace["output_data"]),
     )
     assert ref.verify(proof)
+
+
+def test_shim_only_ref_codec_roundtrip():
+    """The interop codec must work WITHOUT the reference repo mounted
+    (shim classes only). Run in a clean subprocess that blocks the
+    reference path."""
+    import subprocess
+    import sys
+
+    code = r"""
+import sys
+sys.path = [p for p in sys.path if "reference" not in p]
+import numpy as np
+from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+
+program = VirtualMachine.compile("++++")
+trace = VirtualMachine.simulate(program)
+bfs = BrainfuckStark(
+    trace["processor"].shape[0], trace["memory"].shape[0], program, "",
+    trace["output_data"], StarkConfig(seed=0, codec="ref"),
+)
+proof = bfs.prove(trace["processor"], trace["memory"], trace["instruction"],
+                  trace["input"], trace["output"], xp=np)
+assert bfs.verify(proof)
+# the shims must also parse a proof pickled by the real reference classes
+golden = open("tests/vectors/ref_proof_plus4.bin", "rb").read()
+assert bfs.verify(golden), "shims must parse the reference-produced proof"
+print("SHIM_OK")
+"""
+    env = dict(
+        JAX_PLATFORMS="cpu",
+        PATH="/usr/bin:/bin:/usr/local/bin",
+        HOME="/tmp",
+    )
+    import os
+
+    env.update({k: v for k, v in os.environ.items() if k.startswith("LD_")})
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=240,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+    )
+    assert "SHIM_OK" in out.stdout, out.stderr[-2000:]
