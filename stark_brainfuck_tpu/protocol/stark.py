@@ -48,6 +48,17 @@ from .merkle import Merkle, SaltBuffer, SaltedMerkle
 U64 = np.uint64
 
 
+def _tree_sum(x, xp):
+    """Modular sum over axis 0 via log-depth halving."""
+    while x.shape[0] > 1:
+        half = x.shape[0] // 2
+        rest = x[2 * half :]
+        x = f.add(x[:half], x[half : 2 * half], xp)
+        if rest.shape[0]:
+            x = xp.concatenate([x, rest], axis=0)
+    return x[0]
+
+
 class BrainfuckStark:
     def __init__(
         self,
@@ -483,6 +494,15 @@ class BrainfuckStark:
         # quotients, one table at a time so only one table's quotient
         # codewords are ever materialized (memory: O(max constraints · N)
         # instead of O(total constraints · N))
+        def rot(arr, ud):
+            """Cyclic shift by -ud along axis 0 as concat-of-slices.
+            (jnp.roll lowered incorrectly on TPU inside this fused graph —
+            the wrapped tail rows came out wrong at N=2^19; static slices
+            sidestep that lowering.)"""
+            if ud == 0:
+                return arr
+            return xp.concatenate([arr[ud:], arr[:ud]], axis=0)
+
         for ti, (t, base_cw, ext_cw) in enumerate(
             zip(self.tables, base_cws, ext_cws)
         ):
@@ -490,12 +510,10 @@ class BrainfuckStark:
             point = [alg.base(base_cw[j]) for j in range(t.base_width)]
             point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
             point_next = [
-                alg.base(xp.roll(base_cw[j], -ud, axis=0))
-                for j in range(t.base_width)
+                alg.base(rot(base_cw[j], ud)) for j in range(t.base_width)
             ]
             point_next += [
-                alg.x(xp.roll(ext_cw[j], -ud, axis=0))
-                for j in range(t.num_ext_columns)
+                alg.x(rot(ext_cw[j], ud)) for j in range(t.num_ext_columns)
             ]
             zinv = {
                 "boundary": zinv_flat[3 * ti],
@@ -534,6 +552,157 @@ class BrainfuckStark:
 
             cache[name] = jax.jit(fn)
         return cache[name]
+
+    # -- combination pipeline pieces ------------------------------------
+    # The monolithic fused combination graph miscompiled on TPU at N=2^19
+    # (wrong values in the final tile rows; every constituent pattern is
+    # correct when lowered separately). The pipeline below jits the same
+    # math as independent pieces — per-table quotient stacks and per-group
+    # weighted accumulations — which both sidesteps the fusion bug and
+    # compiles faster (several small graphs instead of one huge one).
+
+    def _acc_group(
+        self, acc, stack, w_pairs_g, shifts_g, opow_g, omega_powers, xp,
+        chunk: int = 16,
+    ):
+        """acc += Σ_t (w_plain_t + w_shift_t·x^s_t)·stack[t], chunked.
+        stack: (T, N) base or (T, N, 3) extension terms."""
+        N = self.fri.domain.length
+        iota = xp.arange(N, dtype=xp.int64)
+        base_stream = stack.ndim == 2
+        for start in range(0, stack.shape[0], chunk):
+            stop = min(start + chunk, stack.shape[0])
+            sh = shifts_g[start:stop]
+            op = opow_g[start:stop]
+            idx = (iota[None, :] * sh[:, None]) % N
+            xs = f.mul(omega_powers[idx], op[:, None], xp)
+            w_plain = w_pairs_g[start:stop, 0]
+            w_shift = w_pairs_g[start:stop, 1]
+            c = xf.mul_base(
+                xp.broadcast_to(w_shift[:, None, :], (stop - start, N, 3)),
+                xs, xp,
+            )
+            c = f.add(c, w_plain[:, None, :], xp)
+            if base_stream:
+                contrib = xf.mul_base(c, stack[start:stop], xp)
+            else:
+                contrib = xf.mul(c, stack[start:stop], xp)
+            acc = xf.add(acc, _tree_sum(contrib, xp), xp)
+        return acc
+
+    def _table_quotient_stack(
+        self, ti, base_cw, ext_cw, challenges, terminals, zinv_triple, xp
+    ):
+        """All quotient codewords of table ti as one (T, N, 3) stack."""
+        t = self.tables[ti]
+        N = self.fri.domain.length
+        alg = ArrayAlgebra(xp)
+        ch_vals = [alg.x(challenges[i]) for i in range(11)]
+        tm_vals = [alg.x(terminals[i]) for i in range(5)]
+        ud = t.unit_distance(N)
+
+        def rot(arr):
+            if ud == 0:
+                return arr
+            return xp.concatenate([arr[ud:], arr[:ud]], axis=0)
+
+        point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+        point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+        point_next = [alg.base(rot(base_cw[j])) for j in range(t.base_width)]
+        point_next += [alg.x(rot(ext_cw[j])) for j in range(t.num_ext_columns)]
+        zinv = {
+            "boundary": zinv_triple[0],
+            "transition": zinv_triple[1],
+            "terminal": zinv_triple[2],
+        }
+        q = t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
+        return xp.stack(q, axis=0)
+
+    def _combination_pipeline(
+        self, staged, rand_cw, base_cws, ext_cws, challenges_arr,
+        terminals_arr, weights_h, shifts_np, offset_pows_np, zinv_flat, xp,
+    ):
+        """Host-orchestrated combination: jitted pieces with explicit
+        boundaries (see the note above _acc_group)."""
+        N = self.fri.domain.length
+        omega_powers = self._omega_power_table(xp)
+        w0 = xp.asarray(np.asarray(weights_h[0], dtype=U64))
+        w_pairs_np = np.asarray(weights_h[1:], dtype=U64).reshape(-1, 2, 3)
+
+        def group_args(start, count):
+            return (
+                xp.asarray(w_pairs_np[start : start + count]),
+                xp.asarray(shifts_np[start : start + count]),
+                xp.asarray(offset_pows_np[start : start + count]),
+            )
+
+        acc = staged(
+            "comb_rand",
+            lambda rcw, w: xf.mul(
+                xp.broadcast_to(w[None, :], (N, 3)), rcw, xp
+            ),
+        )(rand_cw, w0)
+
+        pos = 0
+        num_base = sum(t.base_width for t in self.tables)
+        base_stack = xp.concatenate(list(base_cws), axis=0)
+        acc = staged(
+            f"comb_acc_base{num_base}",
+            lambda a, s, wp, sh, op: self._acc_group(
+                a, s, wp, sh, op, omega_powers, xp
+            ),
+        )(acc, base_stack, *group_args(pos, num_base))
+        pos += num_base
+
+        num_ext = sum(t.num_ext_columns for t in self.tables)
+        ext_stack = xp.concatenate(list(ext_cws), axis=0)
+        acc = staged(
+            f"comb_acc_ext{num_ext}",
+            lambda a, s, wp, sh, op: self._acc_group(
+                a, s, wp, sh, op, omega_powers, xp
+            ),
+        )(acc, ext_stack, *group_args(pos, num_ext))
+        pos += num_ext
+
+        for ti, t in enumerate(self.tables):
+            zinv3 = (
+                zinv_flat[3 * ti], zinv_flat[3 * ti + 1], zinv_flat[3 * ti + 2]
+            )
+            stack = staged(
+                f"comb_quot{ti}",
+                lambda bc, ec, ch, tm, z3, _ti=ti: self._table_quotient_stack(
+                    _ti, bc, ec, ch, tm, z3, xp
+                ),
+            )(base_cws[ti], ext_cws[ti], challenges_arr, terminals_arr, zinv3)
+            count = stack.shape[0]
+            acc = staged(
+                f"comb_acc_q{count}",
+                lambda a, s, wp, sh, op: self._acc_group(
+                    a, s, wp, sh, op, omega_powers, xp
+                ),
+            )(acc, stack, *group_args(pos, count))
+            pos += count
+
+        # permutation-argument difference quotients
+        pa_stack = staged(
+            "comb_pa",
+            lambda e0, e1, e2, bz: xp.stack(
+                [
+                    xf.mul_base(xf.sub(e0[0], e1[0], xp), bz, xp),
+                    xf.mul_base(xf.sub(e0[1], e2[0], xp), bz, xp),
+                ],
+                axis=0,
+            ),
+        )(ext_cws[0], ext_cws[1], ext_cws[2], zinv_flat[0])
+        acc = staged(
+            "comb_acc_q2",
+            lambda a, s, wp, sh, op: self._acc_group(
+                a, s, wp, sh, op, omega_powers, xp
+            ),
+        )(acc, pa_stack, *group_args(pos, 2))
+        pos += 2
+        assert pos == shifts_np.shape[0], "term/shift bookkeeping mismatch"
+        return acc
 
     # ------------------------------------------------------------------
     # prover
@@ -729,32 +898,24 @@ class BrainfuckStark:
             dtype=U64,
         )
         terminals_arr = xp.asarray(np.asarray(terminals_h, dtype=U64))
-        weights_arr = xp.asarray(np.asarray(weights_h, dtype=U64))
         zinv = self._zerofier_inverses(xp)
         zinv_flat = tuple(
             zinv[t.height][k]
             for t in self.tables
             for k in ("boundary", "transition", "terminal")
         )
-        stage_c = staged(
-            "combination",
-            lambda rcw, bcw, ecw, ch, tm, wts, sh, op, omp, zf: (
-                self._stage_combination(
-                    rcw, bcw, ecw, ch, tm, wts, sh, op, omp, zf, xp
-                )
-            ),
-        )
-        acc = stage_c(
+        acc = self._combination_pipeline(
+            staged,
             randomizer_codeword,
             base_codewords_per_table,
             ext_codewords_per_table,
             challenges_arr,
             terminals_arr,
-            weights_arr,
-            xp.asarray(shifts_np),
-            xp.asarray(offset_pows_np),
-            self._omega_power_table(xp),
+            weights_h,
+            shifts_np,
+            offset_pows_np,
             zinv_flat,
+            xp,
         )
         combination = np.asarray(acc)  # (N, 3) host
         _mark("stage_c (quotients+combination)")
