@@ -1,0 +1,240 @@
+"""Device-resident Merkle trees over codeword rows.
+
+The host Merkle layer (merkle.py) needs every leaf payload on the host —
+at FRI-domain scale that means shipping hundreds of MB of codewords
+device→host per commitment, which dominates prover wall time (BASELINE.md
+cost split). Here the tree is built where the data already lives:
+
+  - leaf payloads are rows of a device-resident (N, k) u64 tensor
+    (+ device-generated 24-byte salts), hashed with the vectorized BLAKE2b
+    kernel (ops/blake2b.py) — bit-identical bytes to the native codec's
+    `encode_leaf(row) [+ salt]`, so host `Merkle.verify` / the verifier are
+    unchanged;
+  - parent levels are computed on device down to `_HOST_CUT` nodes; the
+    remaining top of the tree (a few KB) is finished on the host so the
+    device graph stays shallow and the root is host-available;
+  - only the root, the opened leaf rows/salts, and the sibling digests
+    along opened paths ever cross to the host — `prefetch(indices)` gathers
+    everything for a query set in one transfer.
+
+Tree shape (heap layout, power-of-two leaves, index-bit-walk auth paths)
+matches ref merkle.py:7-63 / salted_merkle.py:7-68 exactly.
+"""
+
+from __future__ import annotations
+
+from hashlib import blake2b
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..ops import blake2b as B
+
+HASH_LEN = 64
+_HOST_CUT = 512  # finish the tree on host once a level fits in 32 KB
+
+
+_BUILDER_CACHE: Dict[tuple, object] = {}
+
+
+def _get_builder(n: int, k: int, salted: bool, xp):
+    """Jitted whole-tree builder for shape (n, k) u64 rows (+ salts):
+    returns (leaf..cut) digest-limb levels. Cached per shape; compiled
+    executables persist via the jax compilation cache."""
+    key = (n, k, salted)
+    if key in _BUILDER_CACHE:
+        return _BUILDER_CACHE[key]
+
+    import jax
+
+    nwords = k + (3 if salted else 0)
+    msg_len = 8 * nwords
+    W = ((nwords + 15) // 16) * 16
+
+    def build(rows, salts):
+        lo, hi = B.u64_to_limbs(rows, xp)  # (n, k) u32 each
+        parts_lo, parts_hi = [lo], [hi]
+        if salted:
+            parts_lo.append(salts[:, 0::2])
+            parts_hi.append(salts[:, 1::2])
+        if W > nwords:
+            z = xp.zeros((n, W - nwords), dtype=xp.uint32)
+            parts_lo.append(z)
+            parts_hi.append(z)
+        m_lo = xp.concatenate(parts_lo, axis=1)
+        m_hi = xp.concatenate(parts_hi, axis=1)
+        d_lo, d_hi = B.blake2b_words(m_lo, m_hi, msg_len, xp)
+        levels = [(d_lo, d_hi)]
+        count = n
+        while count > max(_HOST_CUT, 1):
+            d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
+            count //= 2
+            levels.append((d_lo, d_hi))
+        return tuple(levels)
+
+    fn = jax.jit(build)
+    _BUILDER_CACHE[key] = fn
+    return fn
+
+
+def device_salts(seed_bytes: bytes, n: int, xp):
+    """(n, 6) uint32 salt words from a jax PRF keyed by 16 secret bytes —
+    the device-side stand-in for `Rng.salt_buffer` (ref salted_merkle.py:25
+    draws urandom per leaf). Salt bytes = the 6 words little-endian."""
+    import jax
+
+    key = jax.random.PRNGKey(int.from_bytes(seed_bytes[:8], "little"))
+    return jax.random.bits(key, (n, 6), dtype=xp.uint32)
+
+
+def _salt_bytes(words_row: np.ndarray) -> bytes:
+    return np.ascontiguousarray(words_row.astype("<u4")).tobytes()
+
+
+class DeviceMerkle:
+    """Plain Merkle tree with device-side hashing; API-compatible subset of
+    merkle.Merkle (root / open), plus batched `prefetch` and row access for
+    building the opened leaf objects."""
+
+    salted = False
+
+    def __init__(self, rows, xp, salts=None):
+        n, k = int(rows.shape[0]), int(rows.shape[1])
+        assert n & (n - 1) == 0 and n > _HOST_CUT
+        self.num_leafs = n
+        self.depth = (n - 1).bit_length()
+        self.rows = rows
+        self.salt_words = salts
+        self.xp = xp
+        builder = _get_builder(n, k, salts is not None, xp)
+        self.levels = builder(rows, salts)  # leaf..cut, device
+        self._finish_host_top()
+        self._node_cache: Dict[Tuple[int, int], bytes] = {}
+        self._row_cache: Dict[int, np.ndarray] = {}
+        self._salt_cache: Dict[int, bytes] = {}
+
+    # -- construction ------------------------------------------------------
+
+    def _finish_host_top(self):
+        top_lo, top_hi = self.levels[-1]
+        cut = int(top_lo.shape[0])
+        self._cut = cut
+        digests = B.digests_to_bytes(np.asarray(top_lo), np.asarray(top_hi))
+        nodes = bytearray(2 * cut * HASH_LEN)
+        nodes[cut * HASH_LEN :] = digests
+        for i in range(cut - 1, 0, -1):
+            child = 2 * i * HASH_LEN
+            nodes[i * HASH_LEN : (i + 1) * HASH_LEN] = blake2b(
+                bytes(nodes[child : child + 2 * HASH_LEN])
+            ).digest()
+        self._top_nodes = nodes
+
+    def root(self) -> bytes:
+        return bytes(self._top_nodes[HASH_LEN : 2 * HASH_LEN])
+
+    # -- openings ------------------------------------------------------------
+
+    def _device_level_count(self) -> int:
+        return len(self.levels)
+
+    def prefetch(self, indices: Iterable[int]):
+        """Gather everything the given leaf openings need — sibling digests
+        on device levels, leaf rows, salts — in one device round-trip."""
+        import jax
+
+        xp = self.xp
+        idx = sorted({int(i) for i in indices})
+        if not idx:
+            return
+        want_rows = [i for i in idx if i not in self._row_cache]
+        per_level: List[List[int]] = []
+        for lvl in range(self._device_level_count()):
+            sibs = sorted({(i >> lvl) ^ 1 for i in idx})
+            sibs = [
+                s for s in sibs if (lvl, s) not in self._node_cache
+            ]
+            per_level.append(sibs)
+
+        gathered = []
+        if want_rows:
+            ridx = xp.asarray(want_rows, dtype=xp.int32)
+            gathered.append(xp.take(self.rows, ridx, axis=0))
+            if self.salt_words is not None:
+                gathered.append(xp.take(self.salt_words, ridx, axis=0))
+        for lvl, sibs in enumerate(per_level):
+            if sibs:
+                lidx = xp.asarray(sibs, dtype=xp.int32)
+                gathered.append(xp.take(self.levels[lvl][0], lidx, axis=0))
+                gathered.append(xp.take(self.levels[lvl][1], lidx, axis=0))
+        host = jax.device_get(gathered)
+        pos = 0
+        if want_rows:
+            rows_h = np.asarray(host[pos], dtype=np.uint64)
+            pos += 1
+            salts_h = None
+            if self.salt_words is not None:
+                salts_h = np.asarray(host[pos])
+                pos += 1
+            for j, i in enumerate(want_rows):
+                self._row_cache[i] = rows_h[j]
+                if salts_h is not None:
+                    self._salt_cache[i] = _salt_bytes(salts_h[j])
+        for lvl, sibs in enumerate(per_level):
+            if not sibs:
+                continue
+            d = B.digests_to_bytes(host[pos], host[pos + 1])
+            pos += 2
+            for j, s in enumerate(sibs):
+                self._node_cache[(lvl, s)] = d[j * HASH_LEN : (j + 1) * HASH_LEN]
+
+    def _device_node(self, lvl: int, pos: int) -> bytes:
+        key = (lvl, pos)
+        if key not in self._node_cache:
+            # on-demand fallback (slow path: one transfer per node)
+            lo = np.asarray(self.levels[lvl][0][pos : pos + 1])
+            hi = np.asarray(self.levels[lvl][1][pos : pos + 1])
+            self._node_cache[key] = B.digests_to_bytes(lo, hi)
+        return self._node_cache[key]
+
+    def row_at(self, index: int) -> np.ndarray:
+        if index not in self._row_cache:
+            self.prefetch([index])
+        return self._row_cache[index]
+
+    def _path(self, index: int) -> List[bytes]:
+        path = []
+        ndev = self._device_level_count()
+        for lvl in range(ndev):
+            path.append(self._device_node(lvl, (index >> lvl) ^ 1))
+        # host top: heap over `cut` digest-leaves; a row with c nodes
+        # occupies heap[c : 2c), so node(count c, pos q) = heap[c + q].
+        # Device levels covered counts N .. cut; the host continues at
+        # count cut/2 (the cut-count siblings came from the device).
+        for lvl in range(ndev, self.depth):
+            c = self.num_leafs >> lvl
+            h = c + ((index >> lvl) ^ 1)
+            path.append(
+                bytes(self._top_nodes[h * HASH_LEN : (h + 1) * HASH_LEN])
+            )
+        return path
+
+    def open(self, index: int) -> List[bytes]:
+        return self._path(index)
+
+
+class DeviceSaltedMerkle(DeviceMerkle):
+    """Salted variant: 24-byte device-generated salt appended to each leaf
+    payload (ref salted_merkle.py:7-68). `open` returns (salt, path)."""
+
+    salted = True
+
+    def __init__(self, rows, salt_words, xp):
+        super().__init__(rows, xp, salts=salt_words)
+
+    def salt_at(self, index: int) -> bytes:
+        if index not in self._salt_cache:
+            self.prefetch([index])
+        return self._salt_cache[index]
+
+    def open(self, index: int):
+        return self.salt_at(index), self._path(index)
