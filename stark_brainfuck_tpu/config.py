@@ -38,6 +38,13 @@ class StarkConfig:
     # tuple of (axis_name, size) pairs, e.g. (("shard", 8),)
     mesh_shape: Optional[Tuple[Tuple[str, int], ...]] = None
 
+    # commitments (Merkle leaf hashing + tree levels) run on the device via
+    # the vectorized BLAKE2b kernel whenever the codeword length reaches this
+    # threshold (and the backend is jax + the codec is native); below it the
+    # host/hashlib path is cheaper than a jit round-trip. Device and host
+    # paths produce byte-identical trees.
+    device_commit_min: int = 4096
+
     # opt-in expensive algebraic sanity checks (the reference's DEBUG mode,
     # table.py:170-176: interpolate each quotient and assert its degree)
     debug_degree_checks: bool = field(

@@ -18,10 +18,11 @@ swaps / funnel shifts. The 12 rounds x 8 G-functions are statically
 unrolled; state words live in python lists of (lo, hi) arrays so XLA sees
 one straight-line elementwise graph and fuses it.
 
-Message convention: fixed-length messages given as (..., W) uint32 limb
-arrays (W % 32 == 0 i.e. whole 128-byte blocks), encoding LE u64 words,
-zero-padded past `msg_len` bytes. All commitment payloads in this codebase
-are multiples of 8 bytes, so the word-level view is exact.
+Message convention: fixed-length messages given as (..., W)-limb pairs of
+uint32 arrays where W counts u64 *words* and W % 16 == 0 (whole 128-byte
+blocks), encoding LE u64 words, zero-padded past `msg_len` bytes. All
+commitment payloads in this codebase are multiples of 8 bytes, so the
+word-level view is exact.
 
 Digests are returned as (..., 16) uint32 limbs = the 64-byte digest,
 bit-identical to `hashlib.blake2b(payload).digest()` (default parameters:
@@ -31,8 +32,6 @@ digest_size=64, no key, fanout=1, depth=1).
 from __future__ import annotations
 
 import numpy as np
-
-np.seterr(over="ignore")  # u32 wraparound is the point of limb arithmetic
 
 _M32 = 0xFFFFFFFF
 
@@ -198,14 +197,18 @@ def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
     assert 8 * (W - 16) < msg_len <= 8 * W
     compress = _compress if xp is np else _compress_jax
     h = _initial_state()
-    for i in range(nblocks):
-        m = [
-            (m_lo[..., 16 * i + j], m_hi[..., 16 * i + j])
-            for j in range(16)
-        ]
-        last = i == nblocks - 1
-        t = msg_len if last else (i + 1) * 128
-        h = compress(h, m, t, last, xp)
+    # u32 wraparound is the point of the limb arithmetic; scope the numpy
+    # overflow-warning suppression to this call (a module-level seterr
+    # would mutate global state for unrelated code)
+    with np.errstate(over="ignore"):
+        for i in range(nblocks):
+            m = [
+                (m_lo[..., 16 * i + j], m_hi[..., 16 * i + j])
+                for j in range(16)
+            ]
+            last = i == nblocks - 1
+            t = msg_len if last else (i + 1) * 128
+            h = compress(h, m, t, last, xp)
     lo = xp.stack([h[j][0] for j in range(8)], axis=-1)
     hi = xp.stack([h[j][1] for j in range(8)], axis=-1)
     return lo, hi

@@ -14,6 +14,7 @@ derivations mirror ref `brainfuck_stark.py:114-126` and `fri.py:62-86`.
 
 from __future__ import annotations
 
+import logging
 import pickle
 from hashlib import blake2b, shake_256
 from typing import List, Sequence
@@ -21,6 +22,21 @@ from typing import List, Sequence
 from ..ops import xfield as xf
 
 PICKLE_PROTOCOL = 4
+
+_log = logging.getLogger("stark_brainfuck_tpu.verify")
+
+
+def reject(holder, reason: str) -> bool:
+    """Record why verification failed and return False.
+
+    The reference prints context on every FRI rejection path
+    (ref fri.py:221,246-251,285); here every verifier rejection — STARK and
+    FRI — stores a human-readable reason at `holder.last_rejection` and
+    logs it, so a failing proof at 2^20 scale is debuggable instead of a
+    bare False."""
+    holder.last_rejection = reason
+    _log.warning("verification rejected: %s", reason)
+    return False
 
 
 class ProofStream:

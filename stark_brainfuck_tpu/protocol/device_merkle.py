@@ -38,14 +38,13 @@ _BUILDER_CACHE: Dict[tuple, object] = {}
 
 
 def _get_builder(n: int, k: int, salted: bool, xp):
-    """Jitted whole-tree builder for shape (n, k) u64 rows (+ salts):
-    returns (leaf..cut) digest-limb levels. Cached per shape; compiled
-    executables persist via the jax compilation cache."""
-    key = (n, k, salted)
+    """Whole-tree builder for shape (n, k) u64 rows (+ salts): returns
+    (leaf..cut) digest-limb levels. Cached per (shape, backend); the jax
+    variant is jitted (compiled executables persist via the jax compilation
+    cache), the numpy variant runs eagerly."""
+    key = (n, k, salted, xp is np)
     if key in _BUILDER_CACHE:
         return _BUILDER_CACHE[key]
-
-    import jax
 
     nwords = k + (3 if salted else 0)
     msg_len = 8 * nwords
@@ -72,19 +71,52 @@ def _get_builder(n: int, k: int, salted: bool, xp):
             levels.append((d_lo, d_hi))
         return tuple(levels)
 
-    fn = jax.jit(build)
+    if xp is np:
+        fn = build
+    else:
+        import jax
+
+        fn = jax.jit(build)
     _BUILDER_CACHE[key] = fn
     return fn
 
 
-def device_salts(seed_bytes: bytes, n: int, xp):
-    """(n, 6) uint32 salt words from a jax PRF keyed by 16 secret bytes —
-    the device-side stand-in for `Rng.salt_buffer` (ref salted_merkle.py:25
-    draws urandom per leaf). Salt bytes = the 6 words little-endian."""
-    import jax
+def salt_words(seed_bytes: bytes, n: int, xp):
+    """(n, 6) uint32 salt words: salt_i = blake2b(key16 ‖ LE64(i))[:24],
+    computed with the vectorized BLAKE2b kernel in counter mode, keyed with
+    the full 16 secret bytes. Replaces the reference's per-leaf host
+    urandom(24) (ref salted_merkle.py:25) with a keyed PRF that is
+    device-computable, backend-invariant (numpy and jax produce identical
+    bytes), and recomputable from (seed, i) — which the query-driven
+    recompute paths rely on. Salt bytes for leaf i are the 3 u64 digest
+    words little-endian (see `_salt_bytes`)."""
+    assert len(seed_bytes) >= 16, "salt PRF needs a 16-byte key"
+    key_words = np.frombuffer(bytes(seed_bytes[:16]), dtype="<u8")
+    k_lo, k_hi = B.u64_to_limbs(key_words, np)  # (2,) each
+    ctr = xp.arange(n, dtype=xp.uint32)
+    zero = xp.zeros((n,), dtype=xp.uint32)
+    cols_lo = [
+        xp.full((n,), int(k_lo[0]), dtype=xp.uint32),
+        xp.full((n,), int(k_lo[1]), dtype=xp.uint32),
+        ctr,
+    ] + [zero] * 13
+    cols_hi = [
+        xp.full((n,), int(k_hi[0]), dtype=xp.uint32),
+        xp.full((n,), int(k_hi[1]), dtype=xp.uint32),
+        zero,
+    ] + [zero] * 13
+    d_lo, d_hi = B.blake2b_words(
+        xp.stack(cols_lo, axis=-1), xp.stack(cols_hi, axis=-1), 24, xp
+    )
+    return xp.stack(
+        [d_lo[:, 0], d_hi[:, 0], d_lo[:, 1], d_hi[:, 1], d_lo[:, 2], d_hi[:, 2]],
+        axis=1,
+    )
 
-    key = jax.random.PRNGKey(int.from_bytes(seed_bytes[:8], "little"))
-    return jax.random.bits(key, (n, 6), dtype=xp.uint32)
+
+def salt_words_to_buffer(words) -> bytes:
+    """(n, 6) uint32 words -> packed 24·n-byte salt buffer (host)."""
+    return np.ascontiguousarray(np.asarray(words).astype("<u4")).tobytes()
 
 
 def _salt_bytes(words_row: np.ndarray) -> bytes:
@@ -213,9 +245,12 @@ class DeviceMerkle:
         for lvl in range(ndev, self.depth):
             c = self.num_leafs >> lvl
             h = c + ((index >> lvl) ^ 1)
-            path.append(
-                bytes(self._top_nodes[h * HASH_LEN : (h + 1) * HASH_LEN])
-            )
+            key = ("top", h)
+            if key not in self._node_cache:
+                self._node_cache[key] = bytes(
+                    self._top_nodes[h * HASH_LEN : (h + 1) * HASH_LEN]
+                )
+            path.append(self._node_cache[key])
         return path
 
     def open(self, index: int) -> List[bytes]:

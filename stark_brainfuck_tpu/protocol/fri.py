@@ -5,11 +5,18 @@ Protocol flow matches ref `fri.py:13-319` (iterated split-and-fold with the
 checks, explicit last-codeword interpolation), with the folding and domain
 arithmetic as whole-codeword vectorized ops and the last-codeword degree
 check via coset INTT instead of Lagrange interpolation.
+
+Device path (jax backend + native codec): the codeword stays resident on
+the device; each round's fold is a jitted elementwise kernel and each
+round's Merkle tree is built by the vectorized BLAKE2b kernel
+(protocol/device_merkle.py). Only roots, query openings and the (tiny)
+last codeword ever cross to the host — the transcript bytes are identical
+to the host path's.
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
@@ -19,11 +26,55 @@ from ..ops import xfield as xf
 from .channel import (
     ProofStream,
     encode_leaf,
+    reject,
     sample_indices_fri,
 )
 from .merkle import Merkle
 
 U64 = np.uint64
+
+_FOLD_CACHE: Dict[int, object] = {}
+
+
+def _fold_device(codeword, alpha_arr, inv_xs, xp):
+    """One jitted FRI fold round on the device:
+    new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
+    (ref fri.py:127-128). inv_xs = 1/x_i precomputed for the half-domain;
+    jitted per codeword length (a handful of shapes per proof)."""
+    import jax
+
+    n = int(codeword.shape[0])
+    if n not in _FOLD_CACHE:
+        two_inv = f.h_inverse(2)
+
+        def fold(cw, alpha, ixs):
+            half = cw.shape[0] // 2
+            a_over_x = xf.mul_base(
+                xp.broadcast_to(alpha[None, :], (half, 3)), ixs, xp
+            )
+            one = xf.ones((half,), xp)
+            lo = xf.mul(xf.add(one, a_over_x, xp), cw[:half], xp)
+            hi = xf.mul(xf.sub(one, a_over_x, xp), cw[half:], xp)
+            return f.mul(
+                xf.add(lo, hi, xp), xp.asarray(two_inv, dtype=xp.uint64), xp
+            )
+
+        _FOLD_CACHE[n] = jax.jit(fold)
+    return _FOLD_CACHE[n](codeword, alpha_arr, inv_xs)
+
+
+class _DeviceTreeLeaves:
+    """Leaf-object view over a device Merkle tree: tuples materialize from
+    prefetched/gathered rows only at queried indices."""
+
+    def __init__(self, tree):
+        self.tree = tree
+
+    def __len__(self):
+        return self.tree.num_leafs
+
+    def __getitem__(self, i: int) -> tuple:
+        return tuple(int(v) for v in self.tree.row_at(i))
 
 
 class FriDomain:
@@ -81,6 +132,7 @@ class Fri:
         expansion_factor: int,
         num_colinearity_tests: int,
         codec=None,
+        device_commit_min: int = 4096,
     ):
         from .channel import NativeCodec
 
@@ -88,6 +140,7 @@ class Fri:
         self.expansion_factor = expansion_factor
         self.num_colinearity_tests = num_colinearity_tests
         self.codec = codec if codec is not None else NativeCodec()
+        self.device_commit_min = device_commit_min
         assert self.num_rounds() >= 1, "FRI needs at least one round"
 
     def num_rounds(self) -> int:
@@ -100,23 +153,47 @@ class Fri:
 
     # -- prover -------------------------------------------------------------
 
-    def commit(self, codeword: np.ndarray, proof_stream: ProofStream,
-               leaf_objs0=None):
-        """codeword: (N, 3) u64. Returns (codewords, leaf-object lists,
-        trees). Leaf-object lists preserve python identity across pushes —
-        required for reference-format pickling, where repeated pushes of a
-        leaf become pickle memo references."""
+    def commit(self, codeword, proof_stream: ProofStream, leaf_objs0=None,
+               xp=np, tree0=None):
+        """codeword: (N, 3) u64 (numpy, or a jax array for the device
+        path). Returns (codewords, leaf-object lists, trees). Leaf-object
+        lists preserve python identity across pushes — required for
+        reference-format pickling, where repeated pushes of a leaf become
+        pickle memo references. `tree0`, when given, is the caller's
+        existing commitment to the round-0 codeword (the STARK's
+        combination tree) — round 0 reuses it instead of rebuilding an
+        identical full-size tree."""
         offset = self.domain.offset
         omega = self.domain.omega
         trees: List[Merkle] = []
-        codewords: List[np.ndarray] = []
+        codewords: List = []
         leaf_objs: List[list] = []
         two_inv = f.h_inverse(2)
         native = self.codec.name == "native"
+        on_device = native and xp is not np
 
         for r in range(self.num_rounds()):
-            N = codeword.shape[0]
-            if native:
+            N = int(codeword.shape[0])
+            if on_device and N < self.device_commit_min:
+                # tail rounds are tiny — finish on host
+                codeword = np.asarray(codeword, dtype=U64)
+                on_device = False
+            if r == 0 and tree0 is not None:
+                tree = tree0
+                if native:
+                    objs = (
+                        _DeviceTreeLeaves(tree)
+                        if on_device
+                        else _LazyLeaves(codeword)
+                    )
+                else:
+                    objs = leaf_objs0
+            elif on_device:
+                from .device_merkle import DeviceMerkle
+
+                tree = DeviceMerkle(codeword, xp)
+                objs = _DeviceTreeLeaves(tree)
+            elif native:
                 # leaves hashed straight from the codeword buffer; leaf
                 # *objects* are only needed at the few queried indices
                 objs = _LazyLeaves(codeword)
@@ -148,22 +225,32 @@ class Fri:
                 f.powers(f.h_inverse(omega), half, np),
                 np.asarray(f.h_inverse(offset), dtype=U64), np,
             )  # (half,)
-            a_over_x = xf.mul_base(
-                np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),
-                inv_xs, np,
-            )
-            one = xf.ones((half,), np)
-            lo = xf.mul(xf.add(one, a_over_x, np), codeword[:half], np)
-            hi = xf.mul(xf.sub(one, a_over_x, np), codeword[half:], np)
-            codeword = f.mul(
-                xf.add(lo, hi, np), np.asarray(two_inv, dtype=U64), np
-            )
+            if on_device:
+                codeword = _fold_device(
+                    codeword,
+                    xp.asarray(np.asarray(alpha, dtype=U64)),
+                    xp.asarray(inv_xs),
+                    xp,
+                )
+            else:
+                a_over_x = xf.mul_base(
+                    np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),
+                    inv_xs, np,
+                )
+                one = xf.ones((half,), np)
+                lo = xf.mul(xf.add(one, a_over_x, np), codeword[:half], np)
+                hi = xf.mul(xf.sub(one, a_over_x, np), codeword[half:], np)
+                codeword = f.mul(
+                    xf.add(lo, hi, np), np.asarray(two_inv, dtype=U64), np
+                )
 
             omega = f.h_mul(omega, omega)
             offset = f.h_mul(offset, offset)
 
         last = leaf_objs[-1]
-        if isinstance(last, _LazyLeaves):
+        if isinstance(last, (_LazyLeaves, _DeviceTreeLeaves)):
+            if isinstance(last, _DeviceTreeLeaves):
+                last.tree.prefetch(range(len(last)))
             last = [last[i] for i in range(len(last))]
             leaf_objs[-1] = last
         proof_stream.push(last)
@@ -181,6 +268,10 @@ class Fri:
     ):
         a_indices = list(c_indices)
         b_indices = [i + len(current_objs) // 2 for i in c_indices]
+        if hasattr(current_tree, "prefetch"):
+            current_tree.prefetch(a_indices + b_indices)
+        if hasattr(next_tree, "prefetch"):
+            next_tree.prefetch(c_indices)
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 (
@@ -204,6 +295,8 @@ class Fri:
     ):
         a_indices = list(c_indices)
         b_indices = [i + len(current_objs) // 2 for i in c_indices]
+        if hasattr(current_tree, "prefetch"):
+            current_tree.prefetch(a_indices + b_indices)
         for s in range(self.num_colinearity_tests):
             proof_stream.push(
                 (
@@ -216,11 +309,11 @@ class Fri:
             proof_stream.push(current_tree.open(a_indices[s]))
             proof_stream.push(current_tree.open(b_indices[s]))
 
-    def prove(self, codeword: np.ndarray, proof_stream: ProofStream,
-              leaf_objs0=None) -> List[int]:
+    def prove(self, codeword, proof_stream: ProofStream,
+              leaf_objs0=None, xp=np, tree0=None) -> List[int]:
         assert self.domain.length == codeword.shape[0]
         codewords, leaf_objs, trees = self.commit(
-            codeword, proof_stream, leaf_objs0
+            codeword, proof_stream, leaf_objs0, xp=xp, tree0=tree0
         )
 
         top_level_indices = sample_indices_fri(
@@ -247,6 +340,7 @@ class Fri:
     # -- verifier -----------------------------------------------------------
 
     def verify(self, proof_stream: ProofStream, root: bytes) -> bool:
+        self.last_rejection = None
         omega = self.domain.omega
         offset = self.domain.offset
 
@@ -263,7 +357,9 @@ class Fri:
         # prover's leaf bytes (identity-sensitive in reference format)
         payloads = [self.codec.leaf_payload(el) for el in last_codeword]
         if roots[-1] != Merkle(payloads).root():
-            return False  # last codeword does not match its root
+            return reject(
+                self, "FRI: last codeword does not match its Merkle root"
+            )
 
         # low-degree check of the last codeword via coset INTT
         degree = (len(last_codeword) // self.expansion_factor) - 1
@@ -276,7 +372,12 @@ class Fri:
             last_arr, np
         )
         if np.any(coeffs[degree + 1 :] != 0):
-            return False  # last codeword exceeds the degree bound
+            nz = np.nonzero(np.any(coeffs != 0, axis=1))[0]
+            return reject(
+                self,
+                f"FRI: last codeword has degree {int(nz[-1])}, exceeding "
+                f"the bound {degree}",
+            )
 
         top_level_indices = sample_indices_fri(
             proof_stream.verifier_fiat_shamir(),
@@ -303,31 +404,52 @@ class Fri:
                 ax = f.h_mul(offset, f.h_pow(omega, a_indices[s]))
                 bx = f.h_mul(offset, f.h_pow(omega, b_indices[s]))
                 if not _colinear(ax, ay, bx, by, alphas[r], cy):
-                    return False  # colinearity check failure
+                    return reject(
+                        self,
+                        f"FRI: colinearity check {s} failed in round {r} "
+                        f"(indices a={a_indices[s]}, b={b_indices[s]}, "
+                        f"c={c_indices[s]})",
+                    )
 
             for s in range(self.num_colinearity_tests):
                 path = proof_stream.pull()
                 if not Merkle.verify(
                     roots[r], a_indices[s], path, self.codec.leaf_payload(aa[s])
                 ):
-                    return False
+                    return reject(
+                        self,
+                        f"FRI: Merkle path for a-leaf {a_indices[s]} "
+                        f"rejected in round {r}",
+                    )
                 path = proof_stream.pull()
                 if not Merkle.verify(
                     roots[r], b_indices[s], path, self.codec.leaf_payload(bb[s])
                 ):
-                    return False
+                    return reject(
+                        self,
+                        f"FRI: Merkle path for b-leaf {b_indices[s]} "
+                        f"rejected in round {r}",
+                    )
                 if r + 1 != self.num_rounds() - 1:
                     path = proof_stream.pull()
                     if not Merkle.verify(
                         roots[r + 1], c_indices[s], path,
                         self.codec.leaf_payload(cc[s]),
                     ):
-                        return False
+                        return reject(
+                            self,
+                            f"FRI: Merkle path for c-leaf {c_indices[s]} "
+                            f"rejected in round {r + 1}",
+                        )
 
             if r + 1 == self.num_rounds() - 1:
                 for s in range(self.num_colinearity_tests):
                     if list(cc[s]) != [int(v) for v in last_codeword[c_indices[s]]]:
-                        return False  # last-round leaf mismatch
+                        return reject(
+                            self,
+                            f"FRI: folded value at index {c_indices[s]} "
+                            f"does not match the last codeword",
+                        )
 
             omega = f.h_mul(omega, omega)
             offset = f.h_mul(offset, offset)

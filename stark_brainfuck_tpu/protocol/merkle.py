@@ -90,7 +90,16 @@ class _TreeBase:
     depth: int
 
     def _node(self, k: int) -> bytes:
-        return bytes(self.nodes[k * HASH_LEN : (k + 1) * HASH_LEN])
+        """Node digest as a *stable* bytes object: repeated openings that
+        share a sibling push the identical object, which pickle serializes
+        as a memo reference — smaller proofs, and byte-identical transcripts
+        with the device trees (whose node caches share the same way)."""
+        cache = getattr(self, "_node_cache", None)
+        if cache is None:
+            cache = self._node_cache = {}
+        if k not in cache:
+            cache[k] = bytes(self.nodes[k * HASH_LEN : (k + 1) * HASH_LEN])
+        return cache[k]
 
     def root(self) -> bytes:
         return self._node(1)

@@ -39,8 +39,15 @@ from .channel import (
     ProofStream,
     encode_leaf,
     make_codec,
+    reject,
     sample_indices_stark,
     sample_weights,
+)
+from .device_merkle import (
+    DeviceMerkle,
+    DeviceSaltedMerkle,
+    salt_words as dm_salt_words,
+    salt_words_to_buffer,
 )
 from .fri import Fri, FriDomain
 from .merkle import Merkle, SaltBuffer, SaltedMerkle
@@ -118,6 +125,7 @@ class BrainfuckStark:
             cfg.expansion_factor,
             cfg.num_colinearity_checks,
             codec=self.codec,
+            device_commit_min=cfg.device_commit_min,
         )
 
     # ------------------------------------------------------------------
@@ -708,7 +716,20 @@ class BrainfuckStark:
     # prover
     # ------------------------------------------------------------------
 
-    def prove(
+    def prove(self, *args, **kwargs) -> bytes:
+        """Prove; set STARK_JAX_PROFILE=<dir> to capture a jax.profiler
+        trace of the run (viewable with tensorboard / xprof)."""
+        import os
+
+        profile_dir = os.environ.get("STARK_JAX_PROFILE")
+        if not profile_dir:
+            return self._prove(*args, **kwargs)
+        import jax
+
+        with jax.profiler.trace(profile_dir):
+            return self._prove(*args, **kwargs)
+
+    def _prove(
         self,
         processor_matrix: np.ndarray,
         memory_matrix: np.ndarray,
@@ -770,34 +791,63 @@ class BrainfuckStark:
         )
         _mark("stage_a (base LDE)")
 
-        # 4. salted commitment to zipped base codewords (ref :178-180)
-        base_host = [np.asarray(cw) for cw in base_codewords_per_table]
-        rand_host = np.asarray(randomizer_codeword)
-        zipped_base = np.concatenate(
-            [rand_host] + [cw.T for cw in base_host], axis=1
-        )  # (N, 3 + num_base_columns) u64
-        _mark("base host transfer+zip")
-        base_widths = [3] + [1] * (zipped_base.shape[1] - 3)
-        base_salts = SaltBuffer(rng.salt_buffer(N))
+        # 4. salted commitment to zipped base codewords (ref :178-180).
+        # Device path: zip + salt-PRF + BLAKE2b tree all on device — only
+        # the root (and later the opened rows/paths) cross to the host.
+        use_device_commit = (
+            native_codec and use_jit and N >= cfg.device_commit_min
+        )
+        base_salt_key = rng.bytes(16)
+        num_base_cols = sum(t.base_width for t in self.tables)
+        base_widths = [3] + [1] * num_base_cols
+        if use_device_commit:
+            zip_base = staged(
+                "zip_base",
+                lambda r, cws: xp.concatenate(
+                    [r] + [cw.T for cw in cws], axis=1
+                ),
+            )
+            zipped_base_dev = zip_base(
+                randomizer_codeword, base_codewords_per_table
+            )
+            base_tree = DeviceSaltedMerkle(
+                zipped_base_dev, dm_salt_words(base_salt_key, N, xp), xp
+            )
+            base_row = base_tree.row_at
+            _mark("base merkle (device)")
+        else:
+            base_host = [np.asarray(cw) for cw in base_codewords_per_table]
+            rand_host = np.asarray(randomizer_codeword)
+            zipped_base = np.concatenate(
+                [rand_host] + [cw.T for cw in base_host], axis=1
+            )  # (N, 3 + num_base_columns) u64
+            _mark("base host transfer+zip")
+            base_salts = SaltBuffer(
+                salt_words_to_buffer(dm_salt_words(base_salt_key, N, np))
+            )
+            if native_codec:
+                buf, plen = _salted_payload_buffer(zipped_base, base_salts.buf)
+                base_tree = SaltedMerkle.from_buffer(buf, plen, N, base_salts)
+            else:
+                base_payloads = [
+                    self.codec.salted_payload(
+                        _row_to_leaf_object(zipped_base[i], base_widths),
+                        base_salts[i],
+                    )
+                    for i in range(N)
+                ]
+                base_tree = SaltedMerkle(base_payloads, base_salts)
+            base_row = lambda idx: zipped_base[idx]  # noqa: E731
+            _mark("base merkle")
         base_leaf_cache: Dict[int, tuple] = {}
 
         def base_leaf_obj(idx):
             if idx not in base_leaf_cache:
                 base_leaf_cache[idx] = _row_to_leaf_object(
-                    zipped_base[idx], base_widths
+                    base_row(idx), base_widths
                 )
             return base_leaf_cache[idx]
 
-        if native_codec:
-            buf, plen = _salted_payload_buffer(zipped_base, base_salts.buf)
-            base_tree = SaltedMerkle.from_buffer(buf, plen, N, base_salts)
-        else:
-            base_payloads = [
-                self.codec.salted_payload(base_leaf_obj(i), base_salts[i])
-                for i in range(N)
-            ]
-            base_tree = SaltedMerkle(base_payloads, base_salts)
-        _mark("base merkle")
         proof_stream.push(base_tree.root())
 
         # 5. challenges (ref :183-184)
@@ -827,37 +877,66 @@ class BrainfuckStark:
         ext_codewords_per_table = stage_b(xcols_dev, ext_rands, packs)
         _mark("stage_b (ext LDE)")
 
-        ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
-        zipped_ext = np.concatenate(
-            [cw.transpose(1, 0, 2).reshape(N, -1) for cw in ext_host], axis=1
-        )  # (N, 9*3)
-        _mark("ext host transfer+zip")
-        ext_widths = [3] * (zipped_ext.shape[1] // 3)
-        ext_salts = SaltBuffer(rng.salt_buffer(N))
+        ext_salt_key = rng.bytes(16)
+        num_ext_cols = sum(t.num_ext_columns for t in self.tables)
+        ext_widths = [3] * num_ext_cols
+        if use_device_commit:
+            zip_ext = staged(
+                "zip_ext",
+                lambda cws: xp.concatenate(
+                    [
+                        xp.moveaxis(cw, 0, 1).reshape(N, -1)
+                        for cw in cws
+                    ],
+                    axis=1,
+                ),
+            )
+            zipped_ext_dev = zip_ext(ext_codewords_per_table)
+            ext_tree = DeviceSaltedMerkle(
+                zipped_ext_dev, dm_salt_words(ext_salt_key, N, xp), xp
+            )
+            ext_row = ext_tree.row_at
+            _mark("ext merkle (device)")
+        else:
+            ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
+            zipped_ext = np.concatenate(
+                [cw.transpose(1, 0, 2).reshape(N, -1) for cw in ext_host],
+                axis=1,
+            )  # (N, 9*3)
+            _mark("ext host transfer+zip")
+            ext_salts = SaltBuffer(
+                salt_words_to_buffer(dm_salt_words(ext_salt_key, N, np))
+            )
+            if native_codec:
+                buf, plen = _salted_payload_buffer(zipped_ext, ext_salts.buf)
+                ext_tree = SaltedMerkle.from_buffer(buf, plen, N, ext_salts)
+            else:
+                ext_payloads = [
+                    self.codec.salted_payload(
+                        _row_to_leaf_object(zipped_ext[i], ext_widths),
+                        ext_salts[i],
+                    )
+                    for i in range(N)
+                ]
+                ext_tree = SaltedMerkle(ext_payloads, ext_salts)
+            ext_row = lambda idx: zipped_ext[idx]  # noqa: E731
+            _mark("ext merkle")
         ext_leaf_cache: Dict[int, tuple] = {}
 
         def ext_leaf_obj(idx):
             if idx not in ext_leaf_cache:
                 ext_leaf_cache[idx] = _row_to_leaf_object(
-                    zipped_ext[idx], ext_widths
+                    ext_row(idx), ext_widths
                 )
             return ext_leaf_cache[idx]
 
-        if native_codec:
-            buf, plen = _salted_payload_buffer(zipped_ext, ext_salts.buf)
-            ext_tree = SaltedMerkle.from_buffer(buf, plen, N, ext_salts)
-        else:
-            ext_payloads = [
-                self.codec.salted_payload(ext_leaf_obj(i), ext_salts[i])
-                for i in range(N)
-            ]
-            ext_tree = SaltedMerkle(ext_payloads, ext_salts)
-        _mark("ext merkle")
         proof_stream.push(ext_tree.root())
 
         if cfg.debug_degree_checks:
             self.debug_check_degrees(
-                base_host, ext_host, challenges_h, terminals_h
+                [np.asarray(cw) for cw in base_codewords_per_table],
+                [np.asarray(cw) for cw in ext_codewords_per_table],
+                challenges_h, terminals_h,
             )
 
         # 9. quotient degree bounds (host, symbolic; ref :210-218)
@@ -917,28 +996,38 @@ class BrainfuckStark:
             zinv_flat,
             xp,
         )
-        combination = np.asarray(acc)  # (N, 3) host
-        _mark("stage_c (quotients+combination)")
-
         # 13. commit to the combination codeword (ref :301-302)
         comb_leaf_cache: Dict[int, tuple] = {}
+        if use_device_commit:
+            combination = acc  # stays device-resident; FRI folds it there
+            _mark("stage_c (quotients+combination)")
+            combination_tree = DeviceMerkle(acc, xp)
+            comb_row = combination_tree.row_at
+            _mark("combination merkle (device)")
+        else:
+            combination = np.asarray(acc)  # (N, 3) host
+            _mark("stage_c (quotients+combination)")
+            if native_codec:
+                combination_tree = Merkle.from_buffer(
+                    np.ascontiguousarray(combination.astype("<u8")).tobytes(),
+                    24, N,
+                )
+            else:
+                comb_payloads = [
+                    self.codec.leaf_payload(
+                        tuple(int(v) for v in combination[i])
+                    )
+                    for i in range(N)
+                ]
+                combination_tree = Merkle(comb_payloads)
+            comb_row = lambda idx: combination[idx]  # noqa: E731
+            _mark("combination merkle")
 
         def comb_leaf_obj(idx):
             if idx not in comb_leaf_cache:
-                comb_leaf_cache[idx] = tuple(int(v) for v in combination[idx])
+                comb_leaf_cache[idx] = tuple(int(v) for v in comb_row(idx))
             return comb_leaf_cache[idx]
 
-        if native_codec:
-            combination_tree = Merkle.from_buffer(
-                np.ascontiguousarray(combination.astype("<u8")).tobytes(),
-                24, N,
-            )
-        else:
-            comb_payloads = [
-                self.codec.leaf_payload(comb_leaf_obj(i)) for i in range(N)
-            ]
-            combination_tree = Merkle(comb_payloads)
-        _mark("combination merkle")
         proof_stream.push(combination_tree.root())
 
         # 14. query indices (ref :305-307)
@@ -949,7 +1038,19 @@ class BrainfuckStark:
         unit_distances = [t.unit_distance(N) for t in self.tables]
         unit_distances = list(set(unit_distances))
 
-        # 15. open zipped base/ext leaves (ref :313-326)
+        # 15. open zipped base/ext leaves (ref :313-326); device trees
+        # gather all rows/salts/path siblings in one transfer per tree
+        if use_device_commit:
+            open_idx = sorted(
+                {
+                    (index + d) % N
+                    for index in indices
+                    for d in [0] + unit_distances
+                }
+            )
+            base_tree.prefetch(open_idx)
+            ext_tree.prefetch(open_idx)
+            combination_tree.prefetch(indices)
         for index in indices:
             for distance in [0] + unit_distances:
                 idx = (index + distance) % N
@@ -969,17 +1070,61 @@ class BrainfuckStark:
         comb_leaf_objs0 = None
         if not native_codec:
             comb_leaf_objs0 = [comb_leaf_obj(i) for i in range(N)]
-        self.fri.prove(combination, proof_stream, leaf_objs0=comb_leaf_objs0)
+        self.fri.prove(
+            combination, proof_stream, leaf_objs0=comb_leaf_objs0,
+            xp=xp if use_device_commit else np,
+            tree0=combination_tree if native_codec else None,
+        )
         _mark("fri.prove")
 
         proof = proof_stream.serialize()
         _mark("serialize")
         T = self.tables[0].height
+        st = timer.stages
+
+        def stage_sum(*substrings):
+            return sum(
+                v for k, v in st.items()
+                if any(s in k for s in substrings)
+            )
+
+        # NTT butterflies: every coefficient row through the two shared
+        # forward N-NTTs plus the per-table height-H INTTs
+        logN = N.bit_length() - 1
+        fwd_rows = 3 + num_base_cols + 3 * num_ext_cols
+        butterflies = fwd_rows * (N // 2) * logN
+        for t in self.tables:
+            if t.height > 1:
+                h = t.height
+                butterflies += (
+                    (t.base_width + 3 * t.num_ext_columns)
+                    * (h // 2) * (h.bit_length() - 1)
+                )
+        lde_s = stage_sum("stage_a", "stage_b")
+        # BLAKE2b leaves: base + ext + combination trees at N, plus every
+        # FRI fold round's tree (round 0 reuses the combination tree)
+        hash_leaves = 3 * N + sum(
+            N >> r for r in range(1, self.fri.num_rounds())
+        )
+        hash_s = stage_sum("merkle", "fri.prove")
+        extend_s = stage_sum("host extend")
+        extend_rows = sum(t.height for t in self.tables)
         self.last_metrics = timer.report(
             fri_domain=N,
             trace_height=T,
             cycles_per_s=round(T / timer.total(), 2),
             proof_bytes=len(proof),
+            ntt_butterflies=butterflies,
+            ntt_butterflies_per_s=(
+                round(butterflies / lde_s) if lde_s > 0 else None
+            ),
+            hash_leaves=hash_leaves,
+            hash_leaves_per_s=(
+                round(hash_leaves / hash_s) if hash_s > 0 else None
+            ),
+            extend_rows_per_s=(
+                round(extend_rows / extend_s) if extend_s > 0 else None
+            ),
         )
         return proof
 
@@ -988,6 +1133,7 @@ class BrainfuckStark:
     # ------------------------------------------------------------------
 
     def verify(self, proof: bytes, proof_stream: Optional[ProofStream] = None) -> bool:
+        self.last_rejection = None
         cfg = self.config
         fri = self.fri
         N = fri.domain.length
@@ -1034,7 +1180,11 @@ class BrainfuckStark:
                     base_root, idx, path,
                     self.codec.salted_payload(element, salt),
                 ):
-                    return False
+                    return reject(
+                        self,
+                        f"base codeword opening at index {idx} fails its "
+                        f"salted-Merkle path",
+                    )
                 row = [tuple(element[0])] + [int(e) for e in element[1:]]
                 tuples[idx] = row
 
@@ -1044,7 +1194,11 @@ class BrainfuckStark:
                     ext_root, idx, path,
                     self.codec.salted_payload(element, salt),
                 ):
-                    return False
+                    return reject(
+                        self,
+                        f"extension codeword opening at index {idx} fails "
+                        f"its salted-Merkle path",
+                    )
                 tuples[idx] = tuples[idx] + [tuple(e) for e in element]
 
         # -- recompute the combination, vectorized over all indices ---------
@@ -1158,28 +1312,48 @@ class BrainfuckStark:
                 combination_root, index, combination_path,
                 self.codec.leaf_payload(combination_leaf),
             ):
-                return False
+                return reject(
+                    self,
+                    f"combination codeword opening at index {index} fails "
+                    f"its Merkle path",
+                )
             if tuple(combination_leaf) != tuple(int(v) for v in inner[k]):
-                return False
+                return reject(
+                    self,
+                    f"combination leaf at index {index} does not equal the "
+                    f"recomputed weighted sum of trace/quotient terms",
+                )
 
         # -- FRI (ref :572) --------------------------------------------------
         if not self.fri.verify(proof_stream, combination_root):
-            return False
+            return reject(
+                self, f"FRI low-degree test failed: {self.fri.last_rejection}"
+            )
 
         # -- evaluation arguments against public data (ref :575-577) --------
         if terminals_h[2] != evaluation_terminal(
             [ord(c) for c in self.input_symbols], challenges_h[8]
         ):
-            return False
+            return reject(
+                self,
+                "input evaluation terminal does not match the public input",
+            )
         if terminals_h[3] != evaluation_terminal(
             [ord(c) for c in self.output_symbols], challenges_h[9]
         ):
-            return False
+            return reject(
+                self,
+                "output evaluation terminal does not match the public output",
+            )
         if terminals_h[4] != program_evaluation_terminal(
             self.program,
             challenges_h[0], challenges_h[1], challenges_h[2], challenges_h[10],
         ):
-            return False
+            return reject(
+                self,
+                "program evaluation terminal does not match the public "
+                "program",
+            )
 
         return True
 

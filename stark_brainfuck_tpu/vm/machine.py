@@ -32,6 +32,37 @@ U64 = np.uint64
 CLK, IP, CI, NI, MP, MV, MVI = range(7)
 
 
+def _read_char_interactive() -> str:
+    """One character from live stdin: raw single-key read on a tty (the
+    reference's `_Getch`, ref vm.py:13-54), buffered read(1) otherwise
+    (pipes, tests). Raises EOFError when no input can be had."""
+    import sys
+
+    if sys.stdin is None or sys.stdin.closed:
+        raise EOFError("input exhausted and no stdin available")
+    if sys.stdin.isatty():
+        try:
+            import termios
+            import tty
+
+            fd = sys.stdin.fileno()
+            old = termios.tcgetattr(fd)
+            try:
+                tty.setraw(fd)
+                ch = sys.stdin.read(1)
+            finally:
+                termios.tcsetattr(fd, termios.TCSADRAIN, old)
+            if ch:
+                return ch
+            raise EOFError("input exhausted and stdin at EOF")
+        except (ImportError, OSError):
+            pass
+    ch = sys.stdin.read(1)
+    if ch == "":
+        raise EOFError("input exhausted and stdin at EOF")
+    return ch
+
+
 def _inv(v: int) -> int:
     return pow(v, P - 2, P) if v else 0
 
@@ -66,7 +97,13 @@ class VirtualMachine:
     def run(
         program: List[int], input_data: str = ""
     ) -> Tuple[int, str, str]:
-        """Plain execution (no trace). Returns (running_time, input, output)."""
+        """Plain execution (no trace). Returns (running_time, input, output).
+
+        When a ',' executes past the end of `input_data`, falls back to
+        reading live from stdin — raw getch on a tty, buffered otherwise —
+        matching the reference's interactive `_Getch` behavior
+        (ref vm.py:13-54,151-158). The returned input string includes any
+        interactively-consumed characters, so the run is replayable."""
         ip = 0
         mp = 0
         memory = {}
@@ -103,7 +140,8 @@ class VirtualMachine:
                 out.append(chr(memory.get(mp, 0) % 256))
             elif op == ord(","):
                 ip += 1
-                assert in_ptr < len(input_data), "input exhausted"
+                if in_ptr >= len(input_data):
+                    input_data = input_data + _read_char_interactive()
                 memory[mp] = ord(input_data[in_ptr])
                 in_ptr += 1
             else:

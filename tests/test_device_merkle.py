@@ -19,7 +19,7 @@ from stark_brainfuck_tpu.protocol.device_merkle import (
     DeviceMerkle,
     DeviceSaltedMerkle,
     _salt_bytes,
-    device_salts,
+    salt_words,
 )
 from stark_brainfuck_tpu.protocol.merkle import (
     Merkle,
@@ -88,7 +88,7 @@ def test_device_merkle_matches_host_tree():
 def test_device_salted_merkle_matches_host_tree():
     n, k = 1024, 3
     rows = _random_rows(n, k, seed=11)
-    sw = device_salts(b"\x01" * 16, n, jnp)
+    sw = salt_words(b"\x01" * 16, n, jnp)
     sw_h = np.asarray(sw)
     salt_buf = b"".join(_salt_bytes(sw_h[i]) for i in range(n))
     buf, plen = _salted_payload_buffer(rows, salt_buf)
@@ -106,9 +106,23 @@ def test_device_salted_merkle_matches_host_tree():
         )
 
 
-def test_device_salts_deterministic_per_seed():
-    a = np.asarray(device_salts(b"\x02" * 16, 64, jnp))
-    b_ = np.asarray(device_salts(b"\x02" * 16, 64, jnp))
-    c = np.asarray(device_salts(b"\x03" * 16, 64, jnp))
+def test_salt_prf_deterministic_per_seed():
+    a = np.asarray(salt_words(b"\x02" * 16, 64, jnp))
+    b_ = np.asarray(salt_words(b"\x02" * 16, 64, jnp))
+    c = np.asarray(salt_words(b"\x03" * 16, 64, jnp))
     assert (a == b_).all()
     assert (a != c).any()
+
+
+def test_salt_prf_matches_hashlib_and_backends_agree():
+    """salt_i must be blake2b(key16 ‖ LE64(i))[:24] bit-exactly, identical
+    on both backends (seeded proofs are backend-invariant), including keys
+    whose low-8-byte little-endian value exceeds 2^63 (the round-1 device
+    salt path crashed on those — advisor finding)."""
+    for key in (b"\x05" * 16, b"\xff" * 16, bytes(range(240, 256))):
+        wj = np.asarray(salt_words(key, 16, jnp))
+        wn = salt_words(key, 16, np)
+        assert (wj == wn).all()
+        for i in range(16):
+            want = hashlib.blake2b(key + i.to_bytes(8, "little")).digest()[:24]
+            assert _salt_bytes(wn[i]) == want

@@ -50,6 +50,24 @@ def test_jax_prover_matches_numpy_prover():
     assert bfs.verify(proof_jax)
 
 
+def test_device_commit_path_matches_host_path():
+    """A trace large enough to cross StarkConfig.device_commit_min (FRI
+    domain >= 4096) takes the device commitment + device FRI path under the
+    jax backend; the transcript must be byte-identical to the all-host
+    numpy prover and still verify. This is the determinism gate for the
+    on-device BLAKE2b Merkle trees, salt PRF, and jitted FRI folds."""
+    import jax.numpy as jnp
+
+    src = "+" * 8 + "[->++++[-]<]"
+    bfs_j, proof_j = prove_program(src, seed=7, xp=jnp)
+    assert bfs_j.fri.domain.length >= bfs_j.config.device_commit_min, (
+        "workload must actually exercise the device commitment path"
+    )
+    bfs_n, proof_n = prove_program(src, seed=7, xp=np)
+    assert proof_j == proof_n, "device-commit proofs must be backend-invariant"
+    assert bfs_j.verify(proof_j)
+
+
 def test_tampered_proof_rejected():
     from stark_brainfuck_tpu.protocol.channel import ProofStream
 

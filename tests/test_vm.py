@@ -80,3 +80,23 @@ def test_memory_matrix_dummy_rows():
     for i in range(len(mem) - 1):
         if mem[i][1] == mem[i + 1][1]:
             assert int(mem[i + 1][0]) == int(mem[i][0]) + 1
+
+
+def test_run_interactive_stdin_fallback(monkeypatch):
+    """',' past the provided input falls back to live stdin (the
+    reference's _Getch behavior, ref vm.py:13-54,151-158); the returned
+    input string includes the interactively-consumed characters."""
+    import io
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("zq"))
+    program = VirtualMachine.compile(",.,.")
+    rt, consumed, out = VirtualMachine.run(program, "")
+    assert out == "zq"
+    assert consumed == "zq"
+
+    # exhausted stdin raises EOFError instead of asserting
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    import pytest
+
+    with pytest.raises(EOFError):
+        VirtualMachine.run(VirtualMachine.compile(","), "")
