@@ -182,6 +182,28 @@ def _compress_jax(h, m, t_bytes, last, xp):
     return [_xor(h[i], _xor(v[i], v[i + 8])) for i in range(8)]
 
 
+def _pallas_available() -> bool:
+    """True when the fused Pallas TPU kernel should be used (real TPU
+    backend, not disabled via STARK_NO_PALLAS)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        import os
+
+        if os.environ.get("STARK_NO_PALLAS"):
+            _PALLAS_OK = False
+        else:
+            try:
+                import jax
+
+                _PALLAS_OK = jax.default_backend() not in ("cpu",)
+            except Exception:
+                _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+_PALLAS_OK = None
+
+
 def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
     """BLAKE2b-512 over a batch of equal-length messages.
 
@@ -190,11 +212,24 @@ def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
     length in bytes, 0 < msg_len <= 8*W, msg_len > 8*(W-16) (i.e. the
     last block is the last one holding payload). Returns (d_lo, d_hi):
     (..., 8) uint32 limb arrays of the 64-byte digest.
+
+    On a TPU backend, 2-D batches with a 128-multiple row count run as one
+    fused Pallas kernel (ops/pallas_blake2b.py) — same bytes, VMEM-resident
+    state instead of ~2000 HBM-round-tripping XLA ops per compression.
     """
     W = m_lo.shape[-1]
     assert W % 16 == 0 and W > 0
     nblocks = W // 16
     assert 8 * (W - 16) < msg_len <= 8 * W
+    if (
+        xp is not np
+        and m_lo.ndim == 2
+        and m_lo.shape[0] % 128 == 0
+        and _pallas_available()
+    ):
+        from .pallas_blake2b import blake2b_words_pallas
+
+        return blake2b_words_pallas(m_lo, m_hi, msg_len)
     compress = _compress if xp is np else _compress_jax
     h = _initial_state()
     # u32 wraparound is the point of the limb arithmetic; scope the numpy

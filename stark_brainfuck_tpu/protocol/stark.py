@@ -789,7 +789,8 @@ class BrainfuckStark:
         randomizer_codeword, base_codewords_per_table = stage_a(
             mats, randomizer_coeffs, base_rands, packs
         )
-        _mark("stage_a (base LDE)")
+        _mark("stage_a (base LDE)",
+              sync=(randomizer_codeword, base_codewords_per_table))
 
         # 4. salted commitment to zipped base codewords (ref :178-180).
         # Device path: zip + salt-PRF + BLAKE2b tree all on device — only
@@ -814,7 +815,7 @@ class BrainfuckStark:
                 zipped_base_dev, dm_salt_words(base_salt_key, N, xp), xp
             )
             base_row = base_tree.row_at
-            _mark("base merkle (device)")
+            _mark("base merkle (device)", sync=base_tree.levels)
         else:
             base_host = [np.asarray(cw) for cw in base_codewords_per_table]
             rand_host = np.asarray(randomizer_codeword)
@@ -875,7 +876,7 @@ class BrainfuckStark:
             lambda xc, er, pk: self._stage_ext_lde(xc, er, pk, xp),
         )
         ext_codewords_per_table = stage_b(xcols_dev, ext_rands, packs)
-        _mark("stage_b (ext LDE)")
+        _mark("stage_b (ext LDE)", sync=ext_codewords_per_table)
 
         ext_salt_key = rng.bytes(16)
         num_ext_cols = sum(t.num_ext_columns for t in self.tables)
@@ -896,7 +897,7 @@ class BrainfuckStark:
                 zipped_ext_dev, dm_salt_words(ext_salt_key, N, xp), xp
             )
             ext_row = ext_tree.row_at
-            _mark("ext merkle (device)")
+            _mark("ext merkle (device)", sync=ext_tree.levels)
         else:
             ext_host = [np.asarray(cw) for cw in ext_codewords_per_table]
             zipped_ext = np.concatenate(
@@ -1000,10 +1001,10 @@ class BrainfuckStark:
         comb_leaf_cache: Dict[int, tuple] = {}
         if use_device_commit:
             combination = acc  # stays device-resident; FRI folds it there
-            _mark("stage_c (quotients+combination)")
+            _mark("stage_c (quotients+combination)", sync=acc)
             combination_tree = DeviceMerkle(acc, xp)
             comb_row = combination_tree.row_at
-            _mark("combination merkle (device)")
+            _mark("combination merkle (device)", sync=combination_tree.levels)
         else:
             combination = np.asarray(acc)  # (N, 3) host
             _mark("stage_c (quotients+combination)")

@@ -24,7 +24,23 @@ class StageTimer:
         self._last = time.time()
         self._start = self._last
 
-    def mark(self, label: str):
+    def mark(self, label: str, sync=None):
+        """Record time since the previous mark. With STARK_SYNC_STAGES set
+        and a `sync` object given, block on it first so the attribution is
+        truthful under async dispatch (otherwise a stage's device time is
+        billed to whichever later stage first forces a sync)."""
+        if sync is not None and os.environ.get("STARK_SYNC_STAGES"):
+            try:
+                import jax
+
+                # block_until_ready is unreliable through remote-tunnel
+                # backends (returns before execution completes); a 1-element
+                # device_get is a true sync barrier
+                for leaf in jax.tree_util.tree_leaves(sync):
+                    if hasattr(leaf, "ravel"):
+                        jax.device_get(leaf.ravel()[:1])
+            except Exception:
+                pass
         now = time.time()
         dt = now - self._last
         self.stages[label] = self.stages.get(label, 0.0) + dt
