@@ -259,7 +259,9 @@ class ProcessorTable(Table):
         # input evaluation: x <- gamma*x + mv_next on ',' rows (exclusive;
         # the read value only lands in mv after the cycle)
         is_comma = (ci == ord(","))[:, None]
-        mv_next = xp.roll(mv, -1, axis=0)
+        # cyclic shift as concat-of-slices: jnp.roll has miscompiled on TPU
+        # inside large fused graphs (see stark._stage_combination note)
+        mv_next = xp.concatenate([mv[1:], mv[:1]], axis=0)
         ms3 = xp.where(is_comma, xp.broadcast_to(gamma[None, :], (H, 3)), one)
         bs3 = xp.where(is_comma, xf.from_base(mv_next, xp), xf.zeros((H,), xp))
 

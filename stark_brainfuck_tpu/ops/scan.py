@@ -30,11 +30,30 @@ def _np_inclusive_prefix_mul(factors: np.ndarray) -> np.ndarray:
 
 def _shift_down(x, d, fill, xp):
     """Shift rows down by d (towards higher indices), filling the top with
-    the monoid identity."""
-    pad = xp.broadcast_to(
-        xp.asarray(fill, dtype=xp.uint64), (d,) + x.shape[1:]
-    )
-    return xp.concatenate([pad, x[:-d]], axis=0)
+    the monoid identity.
+
+    MISCOMPILE GUARD: on TPU (v5e) the natural concat-of-broadcast-fill
+    form produces wrong values from row hmax/2 on when the surrounding jit
+    returns per-lane slices of the scan result (deterministic; reproduced
+    with K=9 lanes, H=2048 — every lane wrong from index 1024; returning
+    the stacked array whole is correct). Zero-pad via lax.pad plus an
+    iota-mask `where` lowers differently and is correct in both contexts;
+    same trick as the concat-of-slices note in stark._stage_combination.
+    """
+    if xp is np:
+        pad = np.broadcast_to(
+            np.asarray(fill, dtype=np.uint64), (d,) + x.shape[1:]
+        )
+        return np.concatenate([pad, x[:-d]], axis=0)
+    from jax import lax
+
+    cfg = [(0, 0, 0)] * x.ndim
+    cfg[0] = (d, 0, 0)
+    shifted = lax.pad(x[:-d], np.uint64(0), cfg)
+    rows = lax.broadcasted_iota(xp.int32, shifted.shape, 0)
+    fillb = xp.asarray(fill, dtype=xp.uint64)
+    fillb = fillb.reshape((1,) * (x.ndim - 1) + (-1,))
+    return xp.where(rows < d, fillb, shifted)
 
 
 def inclusive_prefix_mul(factors, xp=np):
@@ -138,10 +157,19 @@ def batched_affine_scan(lanes, xp=np):
 
 
 def _shift_down_batched(x, d, fill, xp):
-    pad = xp.broadcast_to(
-        xp.asarray(fill, dtype=xp.uint64), (x.shape[0], d, 3)
-    )
-    return xp.concatenate([pad, x[:, :-d]], axis=1)
+    """Batched variant of _shift_down along axis 1 (see its miscompile
+    guard note — same zero-pad + iota-mask form)."""
+    if xp is np:
+        pad = np.broadcast_to(
+            np.asarray(fill, dtype=np.uint64), (x.shape[0], d, 3)
+        )
+        return np.concatenate([pad, x[:, :-d]], axis=1)
+    from jax import lax
+
+    shifted = lax.pad(x[:, :-d], np.uint64(0), ((0, 0, 0), (d, 0, 0), (0, 0, 0)))
+    rows = lax.broadcasted_iota(xp.int32, shifted.shape, 1)
+    fillb = xp.asarray(fill, dtype=xp.uint64)[None, None, :]
+    return xp.where(rows < d, fillb, shifted)
 
 
 def exclusive_from_inclusive(inclusive, initial, xp=np):

@@ -366,6 +366,33 @@ class BrainfuckStark:
             term_arrays.append(terms)
         return xcols, term_arrays
 
+    def _device_extend(self, mats, challenges_arr, initials_arr, xp):
+        """All tables' extension columns as ONE jitted device scan stage.
+
+        Same math as `_host_extend` (the batched Hillis-Steele affine scan
+        is exact mod-p arithmetic, so values are bit-identical across
+        backends), but O(H log H) vectorized device work instead of
+        single-core numpy — the host scan was measured at ~23 k rows/s,
+        which would be minutes at 2^20 rows (VERDICT item 10). Returns
+        (cols tuple, terms tuple), all device-resident."""
+        from ..ops import scan as sc
+
+        all_lanes = []
+        lane_slices = []
+        for t, m in zip(self.tables, mats):
+            lanes = t.extend_lanes(m, challenges_arr, initials_arr, xp)
+            lane_slices.append((len(all_lanes), len(all_lanes) + len(lanes)))
+            all_lanes += lanes
+        all_outs = sc.batched_affine_scan(all_lanes, xp)
+        cols, terms = [], []
+        for (lo, hi), t, m in zip(lane_slices, self.tables, mats):
+            c, tm = t.extend_finish(
+                m, challenges_arr, initials_arr, all_outs[lo:hi], xp
+            )
+            cols.append(c)
+            terms.append(tm)
+        return tuple(cols), tuple(terms)
+
     def _stage_ext_lde(self, xcols, ext_rands, packs, xp):
         """Extension LDE over precomputed extension columns; all tables
         share one batched forward NTT like the base stage."""
@@ -865,12 +892,33 @@ class BrainfuckStark:
             for t in self.tables
         )
         challenges_arr = xp.asarray(np.asarray(challenges_h, dtype=U64))
-        xcols_np, _ = self._host_extend(challenges_h, initials_h)
-        _mark("host extend (batched scans)")
+        if use_jit:
+            # device path: one jitted scan stage; only the terminals (a few
+            # dozen words) cross to the host
+            initials_arr = xp.asarray(np.asarray(initials_h, dtype=U64))
+            stage_x = staged(
+                "extend",
+                lambda m_, ch, ini: self._device_extend(m_, ch, ini, xp),
+            )
+            xcols_dev, terms_dev = stage_x(mats, challenges_arr, initials_arr)
+            import jax
+
+            terms_host = jax.device_get(terms_dev)
+            for t, terms in zip(self.tables, terms_host):
+                terms = np.asarray(terms, dtype=U64)
+                t.xcolumns = None  # device columns live in xcols_dev
+                t.terminals = {
+                    n: tuple(int(v) for v in terms[j])
+                    for j, n in enumerate(t.terminal_names)
+                }
+            _mark("extend (device scan)", sync=xcols_dev)
+        else:
+            xcols_np, _ = self._host_extend(challenges_h, initials_h)
+            _mark("host extend (batched scans)")
+            xcols_dev = tuple(xp.asarray(c) for c in xcols_np)
         terminals_h = self._terminals_list()
 
         # 8. extension LDE on device (ref :194-199)
-        xcols_dev = tuple(xp.asarray(c) for c in xcols_np)
         stage_b = staged(
             "ext_lde",
             lambda xc, er, pk: self._stage_ext_lde(xc, er, pk, xp),
@@ -1108,7 +1156,7 @@ class BrainfuckStark:
             N >> r for r in range(1, self.fri.num_rounds())
         )
         hash_s = stage_sum("merkle", "fri.prove")
-        extend_s = stage_sum("host extend")
+        extend_s = stage_sum("extend")
         extend_rows = sum(t.height for t in self.tables)
         self.last_metrics = timer.report(
             fri_domain=N,
