@@ -20,11 +20,19 @@ interpolation, per-point constraint evaluation, codeword folding) is a jitted
 vectorized kernel.
 """
 
+import sys
+
 import jax
 
 # The Goldilocks field needs exact 64-bit integer arithmetic; XLA emulates
 # u64 with 32-bit pairs on TPU.
 jax.config.update("jax_enable_x64", True)
+
+# Tracing the limb-NTT kernels (hundreds of chained ops per renorm) nests
+# deeply inside jax internals; the default 1000-frame limit intermittently
+# overflows at large transform sizes.
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
 
 from .config import StarkConfig  # noqa: E402
 from .vm.machine import VirtualMachine  # noqa: E402

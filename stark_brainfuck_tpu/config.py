@@ -45,6 +45,13 @@ class StarkConfig:
     # paths produce byte-identical trees.
     device_commit_min: int = 4096
 
+    # forward-LDE NTT backend: "auto" uses the int8-limb MXU kernels
+    # (ops/pallas_ntt.py) on TPU backends for domains >= mxu_ntt_min and
+    # the u64 butterfly network otherwise; "u64" / "mxu" force a path.
+    # Both produce bit-identical codewords.
+    ntt_backend: str = "auto"
+    mxu_ntt_min: int = 1 << 14
+
     # opt-in expensive algebraic sanity checks (the reference's DEBUG mode,
     # table.py:170-176: interpolate each quotient and assert its degree)
     debug_degree_checks: bool = field(

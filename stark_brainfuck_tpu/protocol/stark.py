@@ -29,6 +29,7 @@ from ..models.processor import ProcessorTable
 from ..models.table import roundup_npo2
 from ..ops import field as f
 from ..ops import xfield as xf
+from ..ops.blake2b import _pallas_available as _mxu_available
 from ..utils.rng import Rng
 from .arguments import (
     PermutationArgument,
@@ -264,7 +265,20 @@ class BrainfuckStark:
             return cache[1]
         fri = self.fri
         N = fri.domain.length
+        cfg = self.config
+        use_mxu = cfg.ntt_backend == "mxu" or (
+            cfg.ntt_backend == "auto"
+            and xp is not np
+            and N >= cfg.mxu_ntt_min
+            and _mxu_available()
+        )
+        fwd_mxu = None
+        if use_mxu:
+            from ..ops.pallas_ntt import make_pallas_plan
+
+            fwd_mxu = make_pallas_plan(N, fri.domain.omega, False, xp)
         packs = {
+            "fwd_mxu": fwd_mxu,
             "fwd": nt.make_pack(N, fri.domain.omega, False, xp),
             "rand_scale": nt.scale_table(fri.domain.offset, self.max_degree + 1, xp),
             "tables": tuple(
@@ -279,8 +293,26 @@ class BrainfuckStark:
                 for t in self.tables
             ),
         }
+        if fwd_mxu is not None:
+            from ..ops.pallas_ntt import plan_leaves
+
+            self._mxu_template = fwd_mxu
+            packs["fwd_mxu"] = plan_leaves(fwd_mxu)
         self._packs_cache = (key, packs)
         return packs
+
+    def _fwd_ntt(self, coeffs, packs, xp):
+        """The shared forward N-point NTT of both LDE stages: the int8-limb
+        MXU path (ops/pallas_ntt.py) when configured, else the u64
+        butterfly network — bit-identical outputs."""
+        from ..ops import ntt as nt
+
+        plan = packs.get("fwd_mxu")
+        if plan is not None and xp is not np:
+            from ..ops.pallas_ntt import ntt_pallas, plan_rebind
+
+            return ntt_pallas(coeffs, plan_rebind(self._mxu_template, plan))
+        return nt.ntt_with(coeffs, packs["fwd"], xp)
 
     # -- jittable prover stages ----------------------------------------
 
@@ -320,7 +352,7 @@ class BrainfuckStark:
                     nt.lde_coefficients(m.T, r, tp[0], tp[1], N, xp)
                 )
         all_coeffs = xp.concatenate(rows, axis=0)
-        all_cws = nt.ntt_with(all_coeffs, packs["fwd"], xp)
+        all_cws = self._fwd_ntt(all_coeffs, packs, xp)
         rand_cw = xp.moveaxis(all_cws[:3], 0, -1)  # (N, 3)
         base_cws = []
         pos = 3
@@ -420,7 +452,7 @@ class BrainfuckStark:
             if rows
             else xp.zeros((0, N), dtype=xp.uint64)
         )
-        all_cws = nt.ntt_with(all_coeffs, packs["fwd"], xp)
+        all_cws = self._fwd_ntt(all_coeffs, packs, xp)
         ext_cws = []
         pos = 0
         for i, n_ext in layout:
