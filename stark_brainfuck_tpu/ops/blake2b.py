@@ -195,7 +195,9 @@ def _pallas_available() -> bool:
             try:
                 import jax
 
-                _PALLAS_OK = jax.default_backend() not in ("cpu",)
+                # Mosaic/pltpu kernels only compile for real TPU backends
+                # (a GPU backend is also "not cpu" but cannot lower them)
+                _PALLAS_OK = jax.default_backend() == "tpu"
             except Exception:
                 _PALLAS_OK = False
     return _PALLAS_OK

@@ -37,39 +37,48 @@ _HOST_CUT = 512  # finish the tree on host once a level fits in 32 KB
 _BUILDER_CACHE: Dict[tuple, object] = {}
 
 
+def build_levels(rows, salts, xp):
+    """Jit-traceable whole-tree build over (n, k) u64 rows (+ optional
+    (n, 6) u32 salt words): returns the (leaf..cut) digest-limb levels.
+    Used directly inside fused prover stages (one dispatch for
+    zip+salt+tree) and via `_get_builder` for standalone construction."""
+    n, k = int(rows.shape[0]), int(rows.shape[1])
+    salted = salts is not None
+    nwords = k + (3 if salted else 0)
+    msg_len = 8 * nwords
+    W = ((nwords + 15) // 16) * 16
+    lo, hi = B.u64_to_limbs(rows, xp)  # (n, k) u32 each
+    parts_lo, parts_hi = [lo], [hi]
+    if salted:
+        parts_lo.append(salts[:, 0::2])
+        parts_hi.append(salts[:, 1::2])
+    if W > nwords:
+        z = xp.zeros((n, W - nwords), dtype=xp.uint32)
+        parts_lo.append(z)
+        parts_hi.append(z)
+    m_lo = xp.concatenate(parts_lo, axis=1)
+    m_hi = xp.concatenate(parts_hi, axis=1)
+    d_lo, d_hi = B.blake2b_words(m_lo, m_hi, msg_len, xp)
+    levels = [(d_lo, d_hi)]
+    count = n
+    while count > max(_HOST_CUT, 1):
+        d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
+        count //= 2
+        levels.append((d_lo, d_hi))
+    return tuple(levels)
+
+
 def _get_builder(n: int, k: int, salted: bool, xp):
-    """Whole-tree builder for shape (n, k) u64 rows (+ salts): returns
-    (leaf..cut) digest-limb levels. Cached per (shape, backend); the jax
-    variant is jitted (compiled executables persist via the jax compilation
-    cache), the numpy variant runs eagerly."""
+    """Whole-tree builder for shape (n, k) u64 rows (+ salts). Cached per
+    (shape, backend); the jax variant is jitted (compiled executables
+    persist via the jax compilation cache), the numpy variant runs
+    eagerly."""
     key = (n, k, salted, xp is np)
     if key in _BUILDER_CACHE:
         return _BUILDER_CACHE[key]
 
-    nwords = k + (3 if salted else 0)
-    msg_len = 8 * nwords
-    W = ((nwords + 15) // 16) * 16
-
     def build(rows, salts):
-        lo, hi = B.u64_to_limbs(rows, xp)  # (n, k) u32 each
-        parts_lo, parts_hi = [lo], [hi]
-        if salted:
-            parts_lo.append(salts[:, 0::2])
-            parts_hi.append(salts[:, 1::2])
-        if W > nwords:
-            z = xp.zeros((n, W - nwords), dtype=xp.uint32)
-            parts_lo.append(z)
-            parts_hi.append(z)
-        m_lo = xp.concatenate(parts_lo, axis=1)
-        m_hi = xp.concatenate(parts_hi, axis=1)
-        d_lo, d_hi = B.blake2b_words(m_lo, m_hi, msg_len, xp)
-        levels = [(d_lo, d_hi)]
-        count = n
-        while count > max(_HOST_CUT, 1):
-            d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
-            count //= 2
-            levels.append((d_lo, d_hi))
-        return tuple(levels)
+        return build_levels(rows, salts, xp)
 
     if xp is np:
         fn = build
@@ -81,6 +90,35 @@ def _get_builder(n: int, k: int, salted: bool, xp):
     return fn
 
 
+def salt_words_device(key_lo, key_hi, n: int, xp):
+    """Jit-traceable salt PRF: (n, 6) uint32 salt words with
+    salt_i = blake2b(key16 ‖ LE64(i))[:24]. key_lo/key_hi: (2,) uint32 limb
+    arrays of the two LE u64 key words. Runs as ONE traced graph (part of
+    the fused commit stage) — the bytes are identical to `salt_words`."""
+    ctr = xp.arange(n, dtype=xp.uint32)
+    zero = xp.zeros((n,), dtype=xp.uint32)
+
+    def col(v):
+        return xp.broadcast_to(v, (n,)).astype(xp.uint32)
+
+    cols_lo = [col(key_lo[0]), col(key_lo[1]), ctr] + [zero] * 13
+    cols_hi = [col(key_hi[0]), col(key_hi[1]), zero] + [zero] * 13
+    d_lo, d_hi = B.blake2b_words(
+        xp.stack(cols_lo, axis=-1), xp.stack(cols_hi, axis=-1), 24, xp
+    )
+    return xp.stack(
+        [d_lo[:, 0], d_hi[:, 0], d_lo[:, 1], d_hi[:, 1], d_lo[:, 2], d_hi[:, 2]],
+        axis=1,
+    )
+
+
+def salt_key_limbs(seed_bytes: bytes):
+    """16-byte salt key -> ((2,) lo, (2,) hi) uint32 limb arrays (host)."""
+    assert len(seed_bytes) >= 16, "salt PRF needs a 16-byte key"
+    key_words = np.frombuffer(bytes(seed_bytes[:16]), dtype="<u8")
+    return B.u64_to_limbs(key_words, np)
+
+
 def salt_words(seed_bytes: bytes, n: int, xp):
     """(n, 6) uint32 salt words: salt_i = blake2b(key16 ‖ LE64(i))[:24],
     computed with the vectorized BLAKE2b kernel in counter mode, keyed with
@@ -90,28 +128,8 @@ def salt_words(seed_bytes: bytes, n: int, xp):
     bytes), and recomputable from (seed, i) — which the query-driven
     recompute paths rely on. Salt bytes for leaf i are the 3 u64 digest
     words little-endian (see `_salt_bytes`)."""
-    assert len(seed_bytes) >= 16, "salt PRF needs a 16-byte key"
-    key_words = np.frombuffer(bytes(seed_bytes[:16]), dtype="<u8")
-    k_lo, k_hi = B.u64_to_limbs(key_words, np)  # (2,) each
-    ctr = xp.arange(n, dtype=xp.uint32)
-    zero = xp.zeros((n,), dtype=xp.uint32)
-    cols_lo = [
-        xp.full((n,), int(k_lo[0]), dtype=xp.uint32),
-        xp.full((n,), int(k_lo[1]), dtype=xp.uint32),
-        ctr,
-    ] + [zero] * 13
-    cols_hi = [
-        xp.full((n,), int(k_hi[0]), dtype=xp.uint32),
-        xp.full((n,), int(k_hi[1]), dtype=xp.uint32),
-        zero,
-    ] + [zero] * 13
-    d_lo, d_hi = B.blake2b_words(
-        xp.stack(cols_lo, axis=-1), xp.stack(cols_hi, axis=-1), 24, xp
-    )
-    return xp.stack(
-        [d_lo[:, 0], d_hi[:, 0], d_lo[:, 1], d_hi[:, 1], d_lo[:, 2], d_hi[:, 2]],
-        axis=1,
-    )
+    k_lo, k_hi = salt_key_limbs(seed_bytes)
+    return salt_words_device(xp.asarray(k_lo), xp.asarray(k_hi), n, xp)
 
 
 def salt_words_to_buffer(words) -> bytes:
@@ -130,7 +148,7 @@ class DeviceMerkle:
 
     salted = False
 
-    def __init__(self, rows, xp, salts=None):
+    def __init__(self, rows, xp, salts=None, levels=None):
         n, k = int(rows.shape[0]), int(rows.shape[1])
         assert n & (n - 1) == 0 and n > _HOST_CUT
         self.num_leafs = n
@@ -138,8 +156,10 @@ class DeviceMerkle:
         self.rows = rows
         self.salt_words = salts
         self.xp = xp
-        builder = _get_builder(n, k, salts is not None, xp)
-        self.levels = builder(rows, salts)  # leaf..cut, device
+        if levels is None:
+            builder = _get_builder(n, k, salts is not None, xp)
+            levels = builder(rows, salts)
+        self.levels = tuple(levels)  # leaf..cut, device
         self._finish_host_top()
         self._node_cache: Dict[Tuple[int, int], bytes] = {}
         self._row_cache: Dict[int, np.ndarray] = {}
@@ -169,15 +189,14 @@ class DeviceMerkle:
     def _device_level_count(self) -> int:
         return len(self.levels)
 
-    def prefetch(self, indices: Iterable[int]):
-        """Gather everything the given leaf openings need — sibling digests
-        on device levels, leaf rows, salts — in one device round-trip."""
-        import jax
-
+    def prefetch_plan(self, indices: Iterable[int]):
+        """Stage the device gathers a set of leaf openings needs — sibling
+        digests on device levels, leaf rows, salts. Returns
+        (plan, device_arrays); feed `jax.device_get(device_arrays)` to
+        `prefetch_absorb`. Splitting plan/absorb lets several trees share
+        ONE host round-trip (`prefetch_trees`)."""
         xp = self.xp
         idx = sorted({int(i) for i in indices})
-        if not idx:
-            return
         want_rows = [i for i in idx if i not in self._row_cache]
         per_level: List[List[int]] = []
         for lvl in range(self._device_level_count()):
@@ -198,7 +217,10 @@ class DeviceMerkle:
                 lidx = xp.asarray(sibs, dtype=xp.int32)
                 gathered.append(xp.take(self.levels[lvl][0], lidx, axis=0))
                 gathered.append(xp.take(self.levels[lvl][1], lidx, axis=0))
-        host = jax.device_get(gathered)
+        return (want_rows, per_level), gathered
+
+    def prefetch_absorb(self, plan, host):
+        want_rows, per_level = plan
         pos = 0
         if want_rows:
             rows_h = np.asarray(host[pos], dtype=np.uint64)
@@ -218,6 +240,11 @@ class DeviceMerkle:
             pos += 2
             for j, s in enumerate(sibs):
                 self._node_cache[(lvl, s)] = d[j * HASH_LEN : (j + 1) * HASH_LEN]
+
+    def prefetch(self, indices: Iterable[int]):
+        """Gather everything the given leaf openings need in one device
+        round-trip."""
+        prefetch_trees([(self, indices)])
 
     def _device_node(self, lvl: int, pos: int) -> bytes:
         key = (lvl, pos)
@@ -257,14 +284,36 @@ class DeviceMerkle:
         return self._path(index)
 
 
+def prefetch_trees(pairs):
+    """Batched opening prefetch across several trees: stage every tree's
+    gathers, then do ONE `jax.device_get` for everything — one host
+    round-trip total instead of one per tree (through a remote-tunnel
+    backend each round-trip costs ~tens of ms)."""
+    import jax
+
+    plans = []
+    all_dev: List = []
+    for tree, indices in pairs:
+        plan, dev = tree.prefetch_plan(indices)
+        plans.append((tree, plan, len(dev)))
+        all_dev += dev
+    if not all_dev:
+        return
+    host = jax.device_get(all_dev)
+    pos = 0
+    for tree, plan, count in plans:
+        tree.prefetch_absorb(plan, host[pos : pos + count])
+        pos += count
+
+
 class DeviceSaltedMerkle(DeviceMerkle):
     """Salted variant: 24-byte device-generated salt appended to each leaf
     payload (ref salted_merkle.py:7-68). `open` returns (salt, path)."""
 
     salted = True
 
-    def __init__(self, rows, salt_words, xp):
-        super().__init__(rows, xp, salts=salt_words)
+    def __init__(self, rows, salt_words, xp, levels=None):
+        super().__init__(rows, xp, salts=salt_words, levels=levels)
 
     def salt_at(self, index: int) -> bytes:
         if index not in self._salt_cache:

@@ -33,34 +33,46 @@ from .merkle import Merkle
 
 U64 = np.uint64
 
-_FOLD_CACHE: Dict[int, object] = {}
+_FOLD_CACHE: Dict[tuple, object] = {}
 
 
-def _fold_device(codeword, alpha_arr, inv_xs, xp):
-    """One jitted FRI fold round on the device:
-    new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
-    (ref fri.py:127-128). inv_xs = 1/x_i precomputed for the half-domain;
-    jitted per codeword length (a handful of shapes per proof)."""
+def _fold_math(cw, alpha, ixs, xp):
+    """new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
+    (ref fri.py:127-128). ixs = 1/x_i for the half-domain."""
+    two_inv = f.h_inverse(2)
+    half = cw.shape[0] // 2
+    a_over_x = xf.mul_base(
+        xp.broadcast_to(alpha[None, :], (half, 3)), ixs, xp
+    )
+    one = xf.ones((half,), xp)
+    lo = xf.mul(xf.add(one, a_over_x, xp), cw[:half], xp)
+    hi = xf.mul(xf.sub(one, a_over_x, xp), cw[half:], xp)
+    return f.mul(
+        xf.add(lo, hi, xp), xp.asarray(two_inv, dtype=xp.uint64), xp
+    )
+
+
+def _fold_device(codeword, alpha_arr, inv_xs, xp, with_tree: bool = False):
+    """One jitted FRI fold round on the device; with_tree=True additionally
+    builds the folded codeword's whole Merkle tree in the SAME dispatch
+    (fold + tree = one executable, one host round-trip per round). Jitted
+    per (codeword length, with_tree) — a handful of shapes per proof."""
     import jax
 
-    n = int(codeword.shape[0])
-    if n not in _FOLD_CACHE:
-        two_inv = f.h_inverse(2)
+    key = (int(codeword.shape[0]), with_tree)
+    if key not in _FOLD_CACHE:
+        if with_tree:
+            from .device_merkle import build_levels
 
-        def fold(cw, alpha, ixs):
-            half = cw.shape[0] // 2
-            a_over_x = xf.mul_base(
-                xp.broadcast_to(alpha[None, :], (half, 3)), ixs, xp
-            )
-            one = xf.ones((half,), xp)
-            lo = xf.mul(xf.add(one, a_over_x, xp), cw[:half], xp)
-            hi = xf.mul(xf.sub(one, a_over_x, xp), cw[half:], xp)
-            return f.mul(
-                xf.add(lo, hi, xp), xp.asarray(two_inv, dtype=xp.uint64), xp
-            )
+            def fold(cw, alpha, ixs):
+                new_cw = _fold_math(cw, alpha, ixs, xp)
+                return new_cw, build_levels(new_cw, None, xp)
+        else:
+            def fold(cw, alpha, ixs):
+                return _fold_math(cw, alpha, ixs, xp)
 
-        _FOLD_CACHE[n] = jax.jit(fold)
-    return _FOLD_CACHE[n](codeword, alpha_arr, inv_xs)
+        _FOLD_CACHE[key] = jax.jit(fold)
+    return _FOLD_CACHE[key](codeword, alpha_arr, inv_xs)
 
 
 class _DeviceTreeLeaves:
@@ -172,12 +184,14 @@ class Fri:
         native = self.codec.name == "native"
         on_device = native and xp is not np
 
+        pending_tree = None  # device tree built by the previous fused fold
         for r in range(self.num_rounds()):
             N = int(codeword.shape[0])
             if on_device and N < self.device_commit_min:
                 # tail rounds are tiny — finish on host
                 codeword = np.asarray(codeword, dtype=U64)
                 on_device = False
+                pending_tree = None
             if r == 0 and tree0 is not None:
                 tree = tree0
                 if native:
@@ -188,6 +202,10 @@ class Fri:
                     )
                 else:
                     objs = leaf_objs0
+            elif pending_tree is not None:
+                tree = pending_tree
+                pending_tree = None
+                objs = _DeviceTreeLeaves(tree)
             elif on_device:
                 from .device_merkle import DeviceMerkle
 
@@ -226,12 +244,29 @@ class Fri:
                 np.asarray(f.h_inverse(offset), dtype=U64), np,
             )  # (half,)
             if on_device:
-                codeword = _fold_device(
-                    codeword,
-                    xp.asarray(np.asarray(alpha, dtype=U64)),
-                    xp.asarray(inv_xs),
-                    xp,
+                from .device_merkle import _HOST_CUT, DeviceMerkle
+
+                # build the NEXT round's tree inside the same dispatch when
+                # it will still live on the device
+                build_next = (
+                    half >= self.device_commit_min and half > _HOST_CUT
                 )
+                if build_next:
+                    codeword, levels = _fold_device(
+                        codeword,
+                        xp.asarray(np.asarray(alpha, dtype=U64)),
+                        xp.asarray(inv_xs),
+                        xp,
+                        with_tree=True,
+                    )
+                    pending_tree = DeviceMerkle(codeword, xp, levels=levels)
+                else:
+                    codeword = _fold_device(
+                        codeword,
+                        xp.asarray(np.asarray(alpha, dtype=U64)),
+                        xp.asarray(inv_xs),
+                        xp,
+                    )
             else:
                 a_over_x = xf.mul_base(
                     np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),

@@ -47,13 +47,22 @@ from .channel import (
 from .device_merkle import (
     DeviceMerkle,
     DeviceSaltedMerkle,
+    build_levels as dm_build_levels,
+    prefetch_trees,
+    salt_key_limbs,
     salt_words as dm_salt_words,
+    salt_words_device,
     salt_words_to_buffer,
 )
 from .fri import Fri, FriDomain
 from .merkle import Merkle, SaltBuffer, SaltedMerkle
 
 U64 = np.uint64
+
+# the composed Pallas NTT plan supports at most 2^26 points
+# (ops/pallas_ntt.py make_pallas_plan asserts c <= SUB_MAX); auto mode
+# must fall back to the u64 path above that instead of crashing
+MXU_NTT_MAX = 1 << 26
 
 
 def _tree_sum(x, xp):
@@ -259,19 +268,21 @@ class BrainfuckStark:
         compile time). Cached per backend."""
         from ..ops import ntt as nt
 
-        key = "np" if xp is np else "jax"
-        cache = getattr(self, "_packs_cache", None)
-        if cache is not None and cache[0] == key:
-            return cache[1]
         fri = self.fri
         N = fri.domain.length
         cfg = self.config
         use_mxu = cfg.ntt_backend == "mxu" or (
             cfg.ntt_backend == "auto"
             and xp is not np
-            and N >= cfg.mxu_ntt_min
+            and cfg.mxu_ntt_min <= N <= MXU_NTT_MAX
             and _mxu_available()
         )
+        # key includes the resolved NTT decision: changing ntt_backend /
+        # mxu_ntt_min between prove() calls must not reuse stale packs
+        key = ("np" if xp is np else "jax", use_mxu)
+        cache = getattr(self, "_packs_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
         fwd_mxu = None
         if use_mxu:
             from ..ops.pallas_ntt import make_pallas_plan
@@ -861,17 +872,21 @@ class BrainfuckStark:
         num_base_cols = sum(t.base_width for t in self.tables)
         base_widths = [3] + [1] * num_base_cols
         if use_device_commit:
-            zip_base = staged(
-                "zip_base",
-                lambda r, cws: xp.concatenate(
-                    [r] + [cw.T for cw in cws], axis=1
-                ),
-            )
-            zipped_base_dev = zip_base(
-                randomizer_codeword, base_codewords_per_table
-            )
+            # ONE fused dispatch: zip + salt PRF + whole BLAKE2b tree.
+            # (Eager per-op dispatch here measured ~45 ms/op through the
+            # remote-tunnel backend — the salt PRF alone was ~30 ops.)
+            def _commit_base(r, cws, kl, kh):
+                zipped = xp.concatenate([r] + [cw.T for cw in cws], axis=1)
+                salts = salt_words_device(kl, kh, N, xp)
+                return zipped, salts, dm_build_levels(zipped, salts, xp)
+
+            klo, khi = salt_key_limbs(base_salt_key)
+            zipped_base_dev, base_salts_dev, base_levels = staged(
+                "commit_base", _commit_base
+            )(randomizer_codeword, base_codewords_per_table,
+              xp.asarray(klo), xp.asarray(khi))
             base_tree = DeviceSaltedMerkle(
-                zipped_base_dev, dm_salt_words(base_salt_key, N, xp), xp
+                zipped_base_dev, base_salts_dev, xp, levels=base_levels
             )
             base_row = base_tree.row_at
             _mark("base merkle (device)", sync=base_tree.levels)
@@ -936,9 +951,11 @@ class BrainfuckStark:
             import jax
 
             terms_host = jax.device_get(terms_dev)
-            for t, terms in zip(self.tables, terms_host):
+            for t, cols_dev, terms in zip(self.tables, xcols_dev, terms_host):
                 terms = np.asarray(terms, dtype=U64)
-                t.xcolumns = None  # device columns live in xcols_dev
+                # keep the device array: Table.xtest / debug paths call
+                # np.asarray(xcolumns), which materializes a host copy
+                t.xcolumns = cols_dev
                 t.terminals = {
                     n: tuple(int(v) for v in terms[j])
                     for j, n in enumerate(t.terminal_names)
@@ -962,19 +979,20 @@ class BrainfuckStark:
         num_ext_cols = sum(t.num_ext_columns for t in self.tables)
         ext_widths = [3] * num_ext_cols
         if use_device_commit:
-            zip_ext = staged(
-                "zip_ext",
-                lambda cws: xp.concatenate(
-                    [
-                        xp.moveaxis(cw, 0, 1).reshape(N, -1)
-                        for cw in cws
-                    ],
+            def _commit_ext(cws, kl, kh):
+                zipped = xp.concatenate(
+                    [xp.moveaxis(cw, 0, 1).reshape(N, -1) for cw in cws],
                     axis=1,
-                ),
-            )
-            zipped_ext_dev = zip_ext(ext_codewords_per_table)
+                )
+                salts = salt_words_device(kl, kh, N, xp)
+                return zipped, salts, dm_build_levels(zipped, salts, xp)
+
+            eklo, ekhi = salt_key_limbs(ext_salt_key)
+            zipped_ext_dev, ext_salts_dev, ext_levels = staged(
+                "commit_ext", _commit_ext
+            )(ext_codewords_per_table, xp.asarray(eklo), xp.asarray(ekhi))
             ext_tree = DeviceSaltedMerkle(
-                zipped_ext_dev, dm_salt_words(ext_salt_key, N, xp), xp
+                zipped_ext_dev, ext_salts_dev, xp, levels=ext_levels
             )
             ext_row = ext_tree.row_at
             _mark("ext merkle (device)", sync=ext_tree.levels)
@@ -1129,9 +1147,11 @@ class BrainfuckStark:
                     for d in [0] + unit_distances
                 }
             )
-            base_tree.prefetch(open_idx)
-            ext_tree.prefetch(open_idx)
-            combination_tree.prefetch(indices)
+            prefetch_trees([
+                (base_tree, open_idx),
+                (ext_tree, open_idx),
+                (combination_tree, indices),
+            ])
         for index in indices:
             for distance in [0] + unit_distances:
                 idx = (index + distance) % N
