@@ -45,6 +45,17 @@ class StarkConfig:
     # paths produce byte-identical trees.
     device_commit_min: int = 4096
 
+    # streamed (strided-block) commitments: FRI domains >= stream_min never
+    # materialize full base/ext codewords — coefficients are evaluated and
+    # committed in `stream_classes` strided blocks (protocol/stream.py) and
+    # re-evaluated at query time. Transcripts are byte-identical to the
+    # resident path. 2^24 ~= the largest domain whose ~50 committed u64
+    # rows still fit one 16 GB chip.
+    stream_min: int = 1 << 24
+    # number of strided classes B (block size = N/B); must divide every
+    # table's unit distance N/height — validated (and shrunk) at prove time
+    stream_classes: int = 32
+
     # forward-LDE NTT backend: "auto" uses the int8-limb MXU kernels
     # (ops/pallas_ntt.py) on TPU backends for domains >= mxu_ntt_min and
     # the u64 butterfly network otherwise; "u64" / "mxu" force a path.

@@ -263,6 +263,16 @@ def merkle_parents(d_lo, d_hi, xp=np):
     return blake2b_words(m_lo, m_hi, 128, xp)
 
 
+def merkle_parents_pair(l_lo, l_hi, r_lo, r_hi, xp=np):
+    """Elementwise Merkle combine of two digest arrays: parent[m] =
+    blake2b(left[m] || right[m]). Left/right: (K, 8) u32 digest limbs.
+    Used by the streamed tree accumulator, where tree-sibling digests live
+    in two separate class arrays rather than interleaved heap order."""
+    m_lo = xp.concatenate([l_lo, r_lo], axis=1)  # (K, 16)
+    m_hi = xp.concatenate([l_hi, r_hi], axis=1)
+    return blake2b_words(m_lo, m_hi, 128, xp)
+
+
 def u64_to_limbs(x, xp=np):
     """uint64 array -> (lo, hi) uint32 limb arrays (LE word view)."""
     mask = xp.uint64(_M32)

@@ -173,6 +173,32 @@ def sample_bytes(byte_array: bytes) -> int:
     return acc % P
 
 
+def geometric_rows(starts, ratios, count: int, xp=np):
+    """Batched geometric progressions, fully traced: given (c,) u64 arrays
+    `starts` and `ratios`, returns the (c, count) tensor
+    out[i, j] = starts[i] · ratios[i]^j.
+
+    Log-depth doubling (O(log count) vectorized muls, no index tensors or
+    gathers): replaces `omega_powers[(iota·s) % N]`-style constructions,
+    whose (c, N) int64 index tensor and N-sized gather per chunk dominate
+    memory at FRI-domain scale (VERDICT r2 item 5)."""
+    c = starts.shape[0]
+    if count <= 0:
+        return xp.zeros((c, 0), dtype=xp.uint64)
+    out = starts[:, None]
+    factor = ratios  # ratios^length, length = current column count
+    length = 1
+    while length < count:
+        take = min(length, count - length)
+        out = xp.concatenate(
+            [out, mul(out[:, :take], factor[:, None], xp)], axis=1
+        )
+        length += take
+        if length < count:
+            factor = mul(factor, factor, xp)
+    return out
+
+
 def powers(base: int, count: int, xp=np):
     """[1, base, base^2, ..., base^(count-1)] as a u64 array.
 

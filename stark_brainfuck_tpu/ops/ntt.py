@@ -225,13 +225,11 @@ def coset_interpolate(values, offset: int, root: int, xp=np):
 # -- randomized LDE ---------------------------------------------------------
 
 
-def lde_coefficients(
-    trace, randomizers, intt_pack: TwiddlePack, scale, length: int, xp=np
-):
-    """Coset-scaled, zero-padded coefficient rows of the randomized LDE —
-    ready to batch into one shared forward NTT across tables (a single
-    size-N NTT graph instance instead of one per table keeps compile time
-    flat in the number of tables)."""
+def lde_coefficients_unpadded(trace, randomizers, intt_pack, scale, xp=np):
+    """Offset-prescaled coefficient rows of the randomized LDE at their
+    natural length H (+R) — the persistent per-row state of the streamed
+    (strided-block) prover, which evaluates them blockwise instead of
+    through one padded full-domain NTT."""
     W, H = trace.shape
     coeffs = ntt_with(trace, intt_pack, xp)
     if randomizers is not None and randomizers.shape[-1] > 0:
@@ -240,9 +238,20 @@ def lde_coefficients(
         head = f.sub(coeffs[..., :R], randomizers, xp)
         coeffs = xp.concatenate([head, coeffs[..., R:], randomizers], axis=-1)
     d = coeffs.shape[-1]
-    scaled = f.mul(coeffs, scale[:d], xp)
+    return f.mul(coeffs, scale[:d], xp)
+
+
+def lde_coefficients(
+    trace, randomizers, intt_pack: TwiddlePack, scale, length: int, xp=np
+):
+    """Coset-scaled, zero-padded coefficient rows of the randomized LDE —
+    ready to batch into one shared forward NTT across tables (a single
+    size-N NTT graph instance instead of one per table keeps compile time
+    flat in the number of tables)."""
+    scaled = lde_coefficients_unpadded(trace, randomizers, intt_pack, scale, xp)
+    d = scaled.shape[-1]
     if d < length:
-        pad = xp.zeros(coeffs.shape[:-1] + (length - d,), dtype=xp.uint64)
+        pad = xp.zeros(scaled.shape[:-1] + (length - d,), dtype=xp.uint64)
         scaled = xp.concatenate([scaled, pad], axis=-1)
     return scaled
 

@@ -84,13 +84,13 @@ def prove_core_inputs(bfs: BrainfuckStark, trace, seed: int = 0, xp=None):
         for t in bfs.tables
         for k in ("boundary", "transition", "terminal")
     )
-    omega_powers = bfs._omega_power_table(xp)
+    shift_ratios = bfs._shift_ratios(np.asarray(shifts), xp)
     packs = bfs._lde_packs(xp)
     return dict(
         mats=mats, rand_coeffs=rand_coeffs, base_rands=base_rands,
         ext_rands=ext_rands, challenges=challenges, initials=initials,
         weights=weights, shifts=shifts, offset_pows=offset_pows,
-        omega_powers=omega_powers, zinv_flat=zinv_flat, terminals=terminals,
+        shift_ratios=shift_ratios, zinv_flat=zinv_flat, terminals=terminals,
         packs=packs,
     )
 
@@ -113,7 +113,7 @@ def make_prove_core(bfs: BrainfuckStark, mesh=None, xp=None):
 
     def prove_core(
         mats, rand_coeffs, base_rands, ext_rands, challenges, initials,
-        weights, shifts, offset_pows, omega_powers, zinv_flat, terminals,
+        weights, shift_ratios, offset_pows, zinv_flat, terminals,
         packs,
     ):
         rand_cw, base_cws = bfs._stage_base_lde(
@@ -133,7 +133,7 @@ def make_prove_core(bfs: BrainfuckStark, mesh=None, xp=None):
         ext_cws = tuple(constrain(cw, 1) for cw in ext_cws)
         acc = bfs._stage_combination(
             rand_cw, base_cws, ext_cws, challenges, terminals, weights,
-            shifts, offset_pows, omega_powers, zinv_flat, xp,
+            shift_ratios, offset_pows, zinv_flat, xp,
         )
         return constrain(acc, 0), term_arrays
 
@@ -163,8 +163,8 @@ def dryrun_sharded_prove(n_devices: int, src: str = "++++", seed: int = 0):
         acc, terms = core(
             inputs["mats"], inputs["rand_coeffs"], inputs["base_rands"],
             inputs["ext_rands"], inputs["challenges"], inputs["initials"],
-            inputs["weights"], inputs["shifts"], inputs["offset_pows"],
-            inputs["omega_powers"], inputs["zinv_flat"], inputs["terminals"],
+            inputs["weights"], inputs["shift_ratios"], inputs["offset_pows"],
+            inputs["zinv_flat"], inputs["terminals"],
             inputs["packs"],
         )
         jax.block_until_ready(acc)

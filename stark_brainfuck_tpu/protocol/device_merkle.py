@@ -13,6 +13,11 @@ cost split). Here the tree is built where the data already lives:
   - parent levels are computed on device down to `_HOST_CUT` nodes; the
     remaining top of the tree (a few KB) is finished on the host so the
     device graph stays shallow and the root is host-available;
+  - levels below `cut` are NOT stored (pruned): at FRI-domain scale the
+    leaf+low digest levels are ~2·N·64 bytes — gigabytes that would
+    otherwise stay resident per tree. Openings recompute the bottom
+    2^cut-leaf subtrees on the host from the gathered leaf rows (+salts),
+    a few dozen hashlib calls per query;
   - only the root, the opened leaf rows/salts, and the sibling digests
     along opened paths ever cross to the host — `prefetch(indices)` gathers
     everything for a query set in one transfer.
@@ -32,16 +37,28 @@ from ..ops import blake2b as B
 
 HASH_LEN = 64
 _HOST_CUT = 512  # finish the tree on host once a level fits in 32 KB
+# prune: don't store digest levels below this (bottom subtrees are
+# recomputed host-side per opened leaf — 2^cut hashlib calls per query)
+DEFAULT_CUT = 6
+# chunked tree build: bound the transient leaf-digest memory inside one
+# executable by hashing/reducing this many leaves per dispatch
+BUILD_CHUNK = 1 << 21
 
 
 _BUILDER_CACHE: Dict[tuple, object] = {}
 
 
-def build_levels(rows, salts, xp):
-    """Jit-traceable whole-tree build over (n, k) u64 rows (+ optional
-    (n, 6) u32 salt words): returns the (leaf..cut) digest-limb levels.
-    Used directly inside fused prover stages (one dispatch for
-    zip+salt+tree) and via `_get_builder` for standalone construction."""
+def default_cut(n: int) -> int:
+    """Largest sensible prune level for an n-leaf tree: keep at least the
+    levels from _HOST_CUT up on the device."""
+    levels_above_host_cut = max(0, (n // (2 * _HOST_CUT)).bit_length())
+    return min(DEFAULT_CUT, levels_above_host_cut)
+
+
+def leaf_digests(rows, salts, xp):
+    """(n, k) u64 rows (+ optional (n, 6) u32 salt words) -> (lo, hi)
+    (n, 8) u32 digest limbs, bit-identical to
+    hashlib.blake2b(encode_leaf(row) [+ salt])."""
     n, k = int(rows.shape[0]), int(rows.shape[1])
     salted = salts is not None
     nwords = k + (3 if salted else 0)
@@ -58,44 +75,109 @@ def build_levels(rows, salts, xp):
         parts_hi.append(z)
     m_lo = xp.concatenate(parts_lo, axis=1)
     m_hi = xp.concatenate(parts_hi, axis=1)
-    d_lo, d_hi = B.blake2b_words(m_lo, m_hi, msg_len, xp)
-    levels = [(d_lo, d_hi)]
+    return B.blake2b_words(m_lo, m_hi, msg_len, xp)
+
+
+def build_levels(rows, salts, xp, cut: int = 0):
+    """Jit-traceable whole-tree build over (n, k) u64 rows (+ optional
+    (n, 6) u32 salt words): returns the digest-limb levels from level `cut`
+    up to the host cut. Levels below `cut` are computed but not returned
+    (XLA frees them); `cut=0` returns the full leaf..cut ladder.
+    Used directly inside fused prover stages (one dispatch for
+    zip+salt+tree) and via `_get_builder` for standalone construction."""
+    d_lo, d_hi = leaf_digests(rows, salts, xp)
+    n = int(rows.shape[0])
+    levels = []
     count = n
+    level = 0
+    if cut == 0:
+        levels.append((d_lo, d_hi))
     while count > max(_HOST_CUT, 1):
         d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
         count //= 2
-        levels.append((d_lo, d_hi))
+        level += 1
+        if level >= cut:
+            levels.append((d_lo, d_hi))
+    assert levels, "tree too shallow for the requested cut"
     return tuple(levels)
 
 
-def _get_builder(n: int, k: int, salted: bool, xp):
+def _get_builder(n: int, k: int, salted: bool, xp, cut: int = 0):
     """Whole-tree builder for shape (n, k) u64 rows (+ salts). Cached per
-    (shape, backend); the jax variant is jitted (compiled executables
-    persist via the jax compilation cache), the numpy variant runs
-    eagerly."""
-    key = (n, k, salted, xp is np)
+    (shape, backend, cut); the jax variant is jitted (compiled executables
+    persist via the jax compilation cache) and chunks large leaf counts to
+    bound transient memory, the numpy variant runs eagerly."""
+    key = (n, k, salted, xp is np, cut)
     if key in _BUILDER_CACHE:
         return _BUILDER_CACHE[key]
 
-    def build(rows, salts):
-        return build_levels(rows, salts, xp)
+    if xp is np or n <= BUILD_CHUNK:
+        def build(rows, salts):
+            return build_levels(rows, salts, xp, cut)
 
-    if xp is np:
-        fn = build
+        fn = build if xp is np else __import__("jax").jit(build)
     else:
-        import jax
-
-        fn = jax.jit(build)
+        fn = _chunked_builder(n, cut, xp)
     _BUILDER_CACHE[key] = fn
     return fn
 
 
-def salt_words_device(key_lo, key_hi, n: int, xp):
+def _chunked_builder(n: int, cut: int, xp):
+    """Large-n tree build as a sequence of per-chunk dispatches: each chunk
+    hashes BUILD_CHUNK leaves and reduces them to their level-`cut_c`
+    subtree tops (contiguous leaves — subtrees are tree-aligned), bounding
+    transient digest memory at ~2·BUILD_CHUNK·64 B; the upper ladder then
+    runs over the concatenated chunk outputs."""
+    import jax
+
+    K = BUILD_CHUNK
+    cut_c = max(cut, 1)
+
+    @jax.jit
+    def chunk(rows, salts):
+        d_lo, d_hi = leaf_digests(rows, salts, xp)
+        out = []
+        level = 0
+        if cut_c == 0:
+            out.append((d_lo, d_hi))
+        while level < cut_c:
+            d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
+            level += 1
+        return d_lo, d_hi
+
+    @jax.jit
+    def ladder(d_lo, d_hi):
+        count = int(d_lo.shape[0])
+        levels = [(d_lo, d_hi)]
+        while count > max(_HOST_CUT, 1):
+            d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
+            count //= 2
+            levels.append((d_lo, d_hi))
+        return tuple(levels)
+
+    def build(rows, salts):
+        tops_lo, tops_hi = [], []
+        for c in range(0, n, K):
+            s = None if salts is None else salts[c : c + K]
+            t_lo, t_hi = chunk(rows[c : c + K], s)
+            tops_lo.append(t_lo)
+            tops_hi.append(t_hi)
+        d_lo = xp.concatenate(tops_lo, axis=0)
+        d_hi = xp.concatenate(tops_hi, axis=0)
+        return ladder(d_lo, d_hi)
+
+    return build
+
+
+def salt_words_device(key_lo, key_hi, n: int, xp, indices=None):
     """Jit-traceable salt PRF: (n, 6) uint32 salt words with
     salt_i = blake2b(key16 ‖ LE64(i))[:24]. key_lo/key_hi: (2,) uint32 limb
-    arrays of the two LE u64 key words. Runs as ONE traced graph (part of
-    the fused commit stage) — the bytes are identical to `salt_words`."""
-    ctr = xp.arange(n, dtype=xp.uint32)
+    arrays of the two LE u64 key words. `indices` (optional (n,) uint32
+    array) overrides the counter values — used by strided/streamed commits
+    whose block covers a non-contiguous index set. Runs as ONE traced graph
+    (part of the fused commit stage) — the bytes are identical to
+    `salt_words`."""
+    ctr = xp.arange(n, dtype=xp.uint32) if indices is None else indices
     zero = xp.zeros((n,), dtype=xp.uint32)
 
     def col(v):
@@ -119,7 +201,7 @@ def salt_key_limbs(seed_bytes: bytes):
     return B.u64_to_limbs(key_words, np)
 
 
-def salt_words(seed_bytes: bytes, n: int, xp):
+def salt_words(seed_bytes: bytes, n: int, xp, indices=None):
     """(n, 6) uint32 salt words: salt_i = blake2b(key16 ‖ LE64(i))[:24],
     computed with the vectorized BLAKE2b kernel in counter mode, keyed with
     the full 16 secret bytes. Replaces the reference's per-leaf host
@@ -129,7 +211,9 @@ def salt_words(seed_bytes: bytes, n: int, xp):
     recompute paths rely on. Salt bytes for leaf i are the 3 u64 digest
     words little-endian (see `_salt_bytes`)."""
     k_lo, k_hi = salt_key_limbs(seed_bytes)
-    return salt_words_device(xp.asarray(k_lo), xp.asarray(k_hi), n, xp)
+    return salt_words_device(
+        xp.asarray(k_lo), xp.asarray(k_hi), n, xp, indices=indices
+    )
 
 
 def salt_words_to_buffer(words) -> bytes:
@@ -141,25 +225,36 @@ def _salt_bytes(words_row: np.ndarray) -> bytes:
     return np.ascontiguousarray(words_row.astype("<u4")).tobytes()
 
 
+def _row_payload_bytes(row: np.ndarray, salt: Optional[bytes]) -> bytes:
+    """Host leaf payload: LE u64 row words (+ salt) — the byte string whose
+    blake2b digest the device leaf hash reproduces."""
+    payload = np.ascontiguousarray(row.astype("<u8")).tobytes()
+    return payload + salt if salt is not None else payload
+
+
 class DeviceMerkle:
     """Plain Merkle tree with device-side hashing; API-compatible subset of
     merkle.Merkle (root / open), plus batched `prefetch` and row access for
-    building the opened leaf objects."""
+    building the opened leaf objects. With cut > 0 the bottom `cut` digest
+    levels are pruned (recomputed host-side per opening)."""
 
     salted = False
 
-    def __init__(self, rows, xp, salts=None, levels=None):
+    def __init__(self, rows, xp, salts=None, levels=None, cut: Optional[int] = None):
         n, k = int(rows.shape[0]), int(rows.shape[1])
         assert n & (n - 1) == 0 and n > _HOST_CUT
+        if cut is None:
+            cut = 0 if levels is not None else default_cut(n)
+        self.cut = cut
         self.num_leafs = n
         self.depth = (n - 1).bit_length()
         self.rows = rows
         self.salt_words = salts
         self.xp = xp
         if levels is None:
-            builder = _get_builder(n, k, salts is not None, xp)
+            builder = _get_builder(n, k, salts is not None, xp, cut)
             levels = builder(rows, salts)
-        self.levels = tuple(levels)  # leaf..cut, device
+        self.levels = tuple(levels)  # level `cut`..host-cut, device
         self._finish_host_top()
         self._node_cache: Dict[Tuple[int, int], bytes] = {}
         self._row_cache: Dict[int, np.ndarray] = {}
@@ -171,7 +266,16 @@ class DeviceMerkle:
         top_lo, top_hi = self.levels[-1]
         cut = int(top_lo.shape[0])
         self._cut = cut
-        digests = B.digests_to_bytes(np.asarray(top_lo), np.asarray(top_hi))
+        if self.xp is np:
+            top_lo_h, top_hi_h = np.asarray(top_lo), np.asarray(top_hi)
+        else:
+            # ONE batched device_get (each separate get is a full tunnel
+            # round trip; FRI builds one tree per round, so per-tree gets
+            # multiply into seconds of pure latency)
+            import jax
+
+            top_lo_h, top_hi_h = jax.device_get((top_lo, top_hi))
+        digests = B.digests_to_bytes(top_lo_h, top_hi_h)
         nodes = bytearray(2 * cut * HASH_LEN)
         nodes[cut * HASH_LEN :] = digests
         for i in range(cut - 1, 0, -1):
@@ -190,16 +294,25 @@ class DeviceMerkle:
         return len(self.levels)
 
     def prefetch_plan(self, indices: Iterable[int]):
-        """Stage the device gathers a set of leaf openings needs — sibling
-        digests on device levels, leaf rows, salts. Returns
-        (plan, device_arrays); feed `jax.device_get(device_arrays)` to
-        `prefetch_absorb`. Splitting plan/absorb lets several trees share
-        ONE host round-trip (`prefetch_trees`)."""
+        """Stage the device gathers a set of leaf openings needs — the
+        2^cut-aligned leaf-row runs (leaf objects + pruned-bottom
+        recompute), salts, and sibling digests on stored device levels.
+        Returns (plan, device_arrays); feed `jax.device_get(device_arrays)`
+        to `prefetch_absorb`. Splitting plan/absorb lets several trees
+        share ONE host round-trip (`prefetch_trees`)."""
         xp = self.xp
         idx = sorted({int(i) for i in indices})
-        want_rows = [i for i in idx if i not in self._row_cache]
+        cut = self.cut
+        run_len = 1 << cut
+        runs = sorted(
+            {i >> cut for i in idx if i not in self._row_cache}
+        )
+        want_rows = [
+            q * run_len + j for q in runs for j in range(run_len)
+        ]
         per_level: List[List[int]] = []
-        for lvl in range(self._device_level_count()):
+        for j in range(self._device_level_count()):
+            lvl = cut + j
             sibs = sorted({(i >> lvl) ^ 1 for i in idx})
             sibs = [
                 s for s in sibs if (lvl, s) not in self._node_cache
@@ -212,11 +325,11 @@ class DeviceMerkle:
             gathered.append(xp.take(self.rows, ridx, axis=0))
             if self.salt_words is not None:
                 gathered.append(xp.take(self.salt_words, ridx, axis=0))
-        for lvl, sibs in enumerate(per_level):
+        for j, sibs in enumerate(per_level):
             if sibs:
                 lidx = xp.asarray(sibs, dtype=xp.int32)
-                gathered.append(xp.take(self.levels[lvl][0], lidx, axis=0))
-                gathered.append(xp.take(self.levels[lvl][1], lidx, axis=0))
+                gathered.append(xp.take(self.levels[j][0], lidx, axis=0))
+                gathered.append(xp.take(self.levels[j][1], lidx, axis=0))
         return (want_rows, per_level), gathered
 
     def prefetch_absorb(self, plan, host):
@@ -233,13 +346,46 @@ class DeviceMerkle:
                 self._row_cache[i] = rows_h[j]
                 if salts_h is not None:
                     self._salt_cache[i] = _salt_bytes(salts_h[j])
-        for lvl, sibs in enumerate(per_level):
+            if self.cut > 0:
+                self._rebuild_bottom(want_rows)
+        for j, sibs in enumerate(per_level):
             if not sibs:
                 continue
             d = B.digests_to_bytes(host[pos], host[pos + 1])
             pos += 2
-            for j, s in enumerate(sibs):
-                self._node_cache[(lvl, s)] = d[j * HASH_LEN : (j + 1) * HASH_LEN]
+            for m, s in enumerate(sibs):
+                self._node_cache[(self.cut + j, s)] = (
+                    d[m * HASH_LEN : (m + 1) * HASH_LEN]
+                )
+
+    def _rebuild_bottom(self, leaf_indices):
+        """Recompute the pruned bottom-subtree digests (levels < cut) for
+        every complete 2^cut-aligned run in `leaf_indices` (host hashlib;
+        payload bytes match the device leaf hash exactly)."""
+        run_len = 1 << self.cut
+        runs = sorted({i >> self.cut for i in leaf_indices})
+        for q in runs:
+            digs = []
+            for j in range(run_len):
+                i = q * run_len + j
+                if i not in self._row_cache:
+                    digs = None
+                    break
+                salt = self._salt_cache.get(i) if self.salted else None
+                payload = _row_payload_bytes(self._row_cache[i], salt)
+                digs.append(blake2b(payload).digest())
+            if digs is None:
+                continue
+            pos0 = q * run_len
+            for lvl in range(self.cut):
+                width = run_len >> lvl
+                base = pos0 >> lvl
+                for m in range(width):
+                    self._node_cache.setdefault((lvl, base + m), digs[m])
+                digs = [
+                    blake2b(digs[2 * m] + digs[2 * m + 1]).digest()
+                    for m in range(width // 2)
+                ]
 
     def prefetch(self, indices: Iterable[int]):
         """Gather everything the given leaf openings need in one device
@@ -249,10 +395,15 @@ class DeviceMerkle:
     def _device_node(self, lvl: int, pos: int) -> bytes:
         key = (lvl, pos)
         if key not in self._node_cache:
-            # on-demand fallback (slow path: one transfer per node)
-            lo = np.asarray(self.levels[lvl][0][pos : pos + 1])
-            hi = np.asarray(self.levels[lvl][1][pos : pos + 1])
-            self._node_cache[key] = B.digests_to_bytes(lo, hi)
+            if lvl < self.cut:
+                # pruned level: fetch the covering run and rebuild
+                self.prefetch([pos << lvl])
+            else:
+                # on-demand fallback (slow path: one transfer per node)
+                j = lvl - self.cut
+                lo = np.asarray(self.levels[j][0][pos : pos + 1])
+                hi = np.asarray(self.levels[j][1][pos : pos + 1])
+                self._node_cache[key] = B.digests_to_bytes(lo, hi)
         return self._node_cache[key]
 
     def row_at(self, index: int) -> np.ndarray:
@@ -262,7 +413,7 @@ class DeviceMerkle:
 
     def _path(self, index: int) -> List[bytes]:
         path = []
-        ndev = self._device_level_count()
+        ndev = self.cut + self._device_level_count()
         for lvl in range(ndev):
             path.append(self._device_node(lvl, (index >> lvl) ^ 1))
         # host top: heap over `cut` digest-leaves; a row with c nodes
@@ -312,8 +463,8 @@ class DeviceSaltedMerkle(DeviceMerkle):
 
     salted = True
 
-    def __init__(self, rows, salt_words, xp, levels=None):
-        super().__init__(rows, xp, salts=salt_words, levels=levels)
+    def __init__(self, rows, salt_words, xp, levels=None, cut=None):
+        super().__init__(rows, xp, salts=salt_words, levels=levels, cut=cut)
 
     def salt_at(self, index: int) -> bytes:
         if index not in self._salt_cache:

@@ -52,27 +52,44 @@ def _fold_math(cw, alpha, ixs, xp):
     )
 
 
-def _fold_device(codeword, alpha_arr, inv_xs, xp, with_tree: bool = False):
+def _fold_device(codeword, alpha_arr, omega: int, offset: int, xp,
+                 with_tree: bool = False):
     """One jitted FRI fold round on the device; with_tree=True additionally
     builds the folded codeword's whole Merkle tree in the SAME dispatch
-    (fold + tree = one executable, one host round-trip per round). Jitted
-    per (codeword length, with_tree) — a handful of shapes per proof."""
+    (fold + tree = one executable, one host round-trip per round). The
+    1/x_i = offset^-1·omega^-i table is generated in-graph (log-depth
+    doubling from the static round constants) — no per-round host
+    precompute or upload. Jitted per (length, omega, offset, with_tree) —
+    a handful of shapes per proof."""
     import jax
 
     key = (int(codeword.shape[0]), with_tree)
     if key not in _FOLD_CACHE:
-        if with_tree:
-            from .device_merkle import build_levels
+        half = int(codeword.shape[0]) // 2
 
-            def fold(cw, alpha, ixs):
-                new_cw = _fold_math(cw, alpha, ixs, xp)
-                return new_cw, build_levels(new_cw, None, xp)
+        def inv_xs(seeds):
+            # seeds = [offset^-1, omega^-1] as a runtime ARGUMENT (embedding
+            # them as constants would make XLA constant-fold the whole
+            # O(N) doubling chain at compile time)
+            return f.geometric_rows(seeds[0:1], seeds[1:2], half, xp)[0]
+
+        if with_tree:
+            from .device_merkle import build_levels, default_cut
+
+            tree_cut = default_cut(half)
+
+            def fold(cw, alpha, seeds):
+                new_cw = _fold_math(cw, alpha, inv_xs(seeds), xp)
+                return new_cw, build_levels(new_cw, None, xp, tree_cut)
         else:
-            def fold(cw, alpha, ixs):
-                return _fold_math(cw, alpha, ixs, xp)
+            def fold(cw, alpha, seeds):
+                return _fold_math(cw, alpha, inv_xs(seeds), xp)
 
         _FOLD_CACHE[key] = jax.jit(fold)
-    return _FOLD_CACHE[key](codeword, alpha_arr, inv_xs)
+    seeds = xp.asarray(
+        np.asarray([f.h_inverse(offset), f.h_inverse(omega)], dtype=U64)
+    )
+    return _FOLD_CACHE[key](codeword, alpha_arr, seeds)
 
 
 class _DeviceTreeLeaves:
@@ -239,10 +256,6 @@ class Fri:
             # fold: new[i] = 2^-1·((1 + α/x_i)·cw[i] + (1 - α/x_i)·cw[i+N/2])
             # with 1/x_i = offset^-1·omega^-i in closed form
             half = N // 2
-            inv_xs = f.mul(
-                f.powers(f.h_inverse(omega), half, np),
-                np.asarray(f.h_inverse(offset), dtype=U64), np,
-            )  # (half,)
             if on_device:
                 from .device_merkle import _HOST_CUT, DeviceMerkle
 
@@ -255,19 +268,25 @@ class Fri:
                     codeword, levels = _fold_device(
                         codeword,
                         xp.asarray(np.asarray(alpha, dtype=U64)),
-                        xp.asarray(inv_xs),
-                        xp,
+                        omega, offset, xp,
                         with_tree=True,
                     )
-                    pending_tree = DeviceMerkle(codeword, xp, levels=levels)
+                    from .device_merkle import default_cut as _dc
+
+                    pending_tree = DeviceMerkle(
+                        codeword, xp, levels=levels, cut=_dc(half)
+                    )
                 else:
                     codeword = _fold_device(
                         codeword,
                         xp.asarray(np.asarray(alpha, dtype=U64)),
-                        xp.asarray(inv_xs),
-                        xp,
+                        omega, offset, xp,
                     )
             else:
+                inv_xs = f.mul(
+                    f.powers(f.h_inverse(omega), half, np),
+                    np.asarray(f.h_inverse(offset), dtype=U64), np,
+                )  # (half,)
                 a_over_x = xf.mul_base(
                     np.broadcast_to(np.asarray(alpha, dtype=U64), (half, 3)),
                     inv_xs, np,
@@ -358,6 +377,31 @@ class Fri:
             self.num_colinearity_tests,
         )
         indices = list(top_level_indices)
+
+        # every round's query indices are known now — gather all device
+        # trees' openings in ONE host round trip instead of 2 per round
+        from .device_merkle import DeviceMerkle, prefetch_trees
+
+        want = {}
+        probe = list(top_level_indices)
+        for i in range(len(trees)):
+            half = codewords[i].shape[0] // 2
+            probe = [idx % half for idx in probe]
+            s = want.setdefault(id(trees[i]), (trees[i], set()))[1]
+            s.update(probe)
+            s.update(idx + half for idx in probe)
+            if i + 1 < len(leaf_objs) and i + 1 < len(trees):
+                s2 = want.setdefault(
+                    id(trees[i + 1]), (trees[i + 1], set())
+                )[1]
+                s2.update(probe)
+        batch = [
+            (tree, sorted(idxs))
+            for tree, idxs in want.values()
+            if isinstance(tree, DeviceMerkle)
+        ]
+        if batch:
+            prefetch_trees(batch)
 
         for i in range(len(trees) - 1):
             indices = [idx % (codewords[i].shape[0] // 2) for idx in indices]

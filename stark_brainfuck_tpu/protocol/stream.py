@@ -1,0 +1,351 @@
+"""Streamed commitments over strided codeword blocks (BASELINE config 4).
+
+At FRI domains of 2^26+ a single committed u64 codeword row is 0.5-1 GiB
+and the ~50 committed rows cannot coexist in one chip's HBM. This module
+evaluates and commits codewords in B *strided classes*
+
+    class b = { i : i ≡ b (mod B) },   block size S = N/B,
+
+because a degree-<d polynomial restricted to a class is a plain size-S
+NTT: with x_i = offset·ω^i and i = b + B·q,
+
+    f(x_i) = Σ_k c_k·offset^k·ω^{bk}·(ω^B)^{qk}
+           = NTT_S[ fold_{k mod S}( c_k·offset^k·ω^{bk} ) ](q),
+
+ω^B being a primitive S-th root. So per block: one (1, d) geometric scale
+row, a segment-fold, and one batched size-S NTT — the coefficient arrays
+(H-sized, tiny) are the only persistent state.
+
+Merkle accumulation: adjacent leaves 2t, 2t+1 live in classes (r, r+1) at
+the same position q, so processing classes in order 0..B-1 and combining
+level-k class pairs as they complete (a binary counter, log2(B) pending
+(S, 8) digest arrays) yields the level-log2(B) digests — the natural-order
+node array whose entry q covers leaves [q·B, (q+1)·B). The upper tree is
+an ordinary ladder; levels below log2(B) are never stored. Query-time
+openings re-evaluate the blocks (a second streaming pass), gather the
+opened positions, and rebuild the pruned bottom subtrees host-side —
+bit-identical to the resident-tree transcript.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..ops import blake2b as B2
+from ..ops import field as f
+from ..ops import ntt as nt
+from .device_merkle import (
+    _HOST_CUT,
+    DeviceMerkle,
+    _salt_bytes,
+    leaf_digests,
+    salt_key_limbs,
+    salt_words_device,
+)
+
+U64 = np.uint64
+
+
+def fold_mod(coeffs, S: int, xp):
+    """(rows, d) coefficient arrays -> (rows, S) folded mod S:
+    out[m] = Σ_{k ≡ m (mod S)} c_k (zero-padded past d)."""
+    rows, d = int(coeffs.shape[0]), int(coeffs.shape[1])
+    segs = (d + S - 1) // S
+    if segs * S > d:
+        pad = xp.zeros((rows, segs * S - d), dtype=xp.uint64)
+        coeffs = xp.concatenate([coeffs, pad], axis=1)
+    if segs == 1:
+        return coeffs
+    x = coeffs.reshape(rows, segs, S)
+    acc = x[:, 0]
+    for j in range(1, segs):
+        acc = f.add(acc, x[:, j], xp)
+    return acc
+
+
+def block_values(groups: Sequence, wb, scale_len: int, pack_S, S: int, xp):
+    """Evaluate offset-prescaled coefficient groups on strided class b.
+
+    groups: list of (rows_g, d_g) u64 arrays (c_k·offset^k, the same
+    prescaling `lde_coefficients` applies). wb: (1,) u64 = ω^b (runtime
+    arg — per-block data must not be baked in as constants). Returns the
+    (Σ rows_g, S) values, group-concatenated, position order q = 0..S-1
+    (leaf index b + B·q)."""
+    one = xp.ones((1,), dtype=xp.uint64)
+    scale = f.geometric_rows(one, wb, scale_len, xp)[0]  # ω^{bk}
+    folded = [
+        fold_mod(f.mul(g, scale[: g.shape[1]], xp), S, xp) for g in groups
+    ]
+    allc = folded[0] if len(folded) == 1 else xp.concatenate(folded, axis=0)
+    return nt.ntt_with(allc, pack_S, xp)
+
+
+class StreamAccumulator:
+    """Binary-counter Merkle accumulation over class digest blocks: feed
+    class digests in order b = 0..B-1; at most log2(B) (S, 8)-digest pairs
+    are pending at any time."""
+
+    def __init__(self, xp):
+        self.xp = xp
+        self.pending: Dict[int, tuple] = {}
+        self._jit = None
+
+    def _combine(self, left, right):
+        xp = self.xp
+        if xp is np:
+            return B2.merkle_parents_pair(
+                left[0], left[1], right[0], right[1], np
+            )
+        if self._jit is None:
+            import jax
+
+            self._jit = jax.jit(
+                lambda ll, lh, rl, rh: B2.merkle_parents_pair(
+                    ll, lh, rl, rh, xp
+                )
+            )
+        return self._jit(left[0], left[1], right[0], right[1])
+
+    def add(self, digests):
+        lvl = 0
+        d = digests
+        while lvl in self.pending:
+            left = self.pending.pop(lvl)
+            d = self._combine(left, d)
+            lvl += 1
+        self.pending[lvl] = d
+
+    def finish(self):
+        assert len(self.pending) == 1, "class count must be a power of two"
+        (lvl, d), = self.pending.items()
+        self.pending = {}
+        return lvl, d
+
+
+def _ladder_levels(d, xp):
+    """Digest ladder from an (S, 8) level down to the host cut (the upper
+    part of the streamed tree). Jitted per shape on the jax backend."""
+    def ladder(lo, hi):
+        count = int(lo.shape[0])
+        levels = [(lo, hi)]
+        while count > max(_HOST_CUT, 1):
+            lo, hi = B2.merkle_parents(lo, hi, xp)
+            count //= 2
+            levels.append((lo, hi))
+        return tuple(levels)
+
+    if xp is np:
+        return ladder(d[0], d[1])
+    import jax
+
+    return jax.jit(ladder)(d[0], d[1])
+
+
+class StreamedMerkle(DeviceMerkle):
+    """Merkle tree whose leaf rows are NOT resident: constructed from the
+    accumulator's level-log2(B) digests; openings require a `resolve()`
+    call that supplies the opened leaf rows from a second streaming pass."""
+
+    salted = False
+
+    def __init__(self, n: int, num_classes: int, top_digests, xp,
+                 salt_key: Optional[bytes] = None):
+        cut = (num_classes - 1).bit_length()
+        assert 1 << cut == num_classes
+        self.cut = cut
+        self.num_leafs = n
+        self.num_classes = num_classes
+        self.depth = (n - 1).bit_length()
+        self.rows = None
+        self.salt_words = None
+        self.salt_key = salt_key
+        self.xp = xp
+        self.levels = tuple(_ladder_levels(top_digests, xp))
+        self._finish_host_top()
+        self._node_cache = {}
+        self._row_cache = {}
+        self._salt_cache = {}
+
+    def resolve(self, indices, rows_for_positions):
+        """Make `indices` openable: `rows_for_positions(positions)` is the
+        prover's second streaming pass — it must return a host uint64 array
+        of shape (len(positions), B, k) with entry [j, b] = the zipped leaf
+        row of index positions[j]·B + b. Rebuilds the pruned bottom
+        subtrees from those rows (+ recomputed salts) host-side."""
+        B = self.num_classes
+        positions = sorted(
+            {int(i) >> self.cut for i in indices
+             if int(i) not in self._row_cache}
+        )
+        if not positions:
+            return
+        rows = np.asarray(rows_for_positions(positions), dtype=U64)
+        assert rows.shape[:2] == (len(positions), B)
+        leaf_idx = []
+        for j, q in enumerate(positions):
+            for b in range(B):
+                i = q * B + b
+                self._row_cache[i] = rows[j, b]
+                leaf_idx.append(i)
+        if self.salt_key is not None:
+            words = np.asarray(
+                salt_words_host(self.salt_key, np.asarray(leaf_idx))
+            )
+            for j, i in enumerate(leaf_idx):
+                self._salt_cache[i] = _salt_bytes(words[j])
+        self._rebuild_bottom(leaf_idx)
+
+    def prefetch_plan(self, indices):
+        idx = sorted({int(i) for i in indices})
+        missing = [i for i in idx if i not in self._row_cache]
+        if missing:
+            raise RuntimeError(
+                "streamed tree: call resolve() before opening "
+                f"(unresolved indices {missing[:4]}...)"
+            )
+        per_level: List[List[int]] = []
+        for j in range(self._device_level_count()):
+            lvl = self.cut + j
+            sibs = sorted({(i >> lvl) ^ 1 for i in idx})
+            sibs = [s for s in sibs if (lvl, s) not in self._node_cache]
+            per_level.append(sibs)
+        gathered = []
+        xp = self.xp
+        for j, sibs in enumerate(per_level):
+            if sibs:
+                lidx = xp.asarray(sibs, dtype=xp.int32)
+                gathered.append(xp.take(self.levels[j][0], lidx, axis=0))
+                gathered.append(xp.take(self.levels[j][1], lidx, axis=0))
+        return ([], per_level), gathered
+
+
+class StreamedSaltedMerkle(StreamedMerkle):
+    salted = True
+
+    def __init__(self, n, num_classes, top_digests, xp, salt_key: bytes):
+        super().__init__(n, num_classes, top_digests, xp, salt_key=salt_key)
+
+    def salt_at(self, index: int) -> bytes:
+        return self._salt_cache[index]
+
+    def open(self, index: int):
+        return self.salt_at(index), self._path(index)
+
+
+def salt_words_host(seed_bytes: bytes, indices: np.ndarray):
+    """Host salt PRF at explicit leaf indices (numpy backend)."""
+    k_lo, k_hi = salt_key_limbs(seed_bytes)
+    return salt_words_device(
+        k_lo, k_hi, len(indices), np,
+        indices=np.asarray(indices, dtype=np.uint32),
+    )
+
+
+def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
+                    progress=None):
+    """First streaming pass: evaluate + hash + accumulate every class.
+
+    groups: offset-prescaled coefficient groups (device arrays).
+    plan: dict with N, B, S, pack_S, omega (domain root), zip order is the
+    group-concatenated row order — leaf row i = values[:, q] of class b.
+    Returns (tree, None) where tree is Streamed[Salted]Merkle."""
+    N, B, S = plan["N"], plan["B"], plan["S"]
+    pack_S = plan["pack_S"]
+    omega = plan["omega"]
+    scale_len = max(int(g.shape[1]) for g in groups)
+    salted = salt_key is not None
+    if salted:
+        klo, khi = salt_key_limbs(salt_key)
+        klo, khi = xp.asarray(klo), xp.asarray(khi)
+
+    if xp is np:
+        def block_fn(gs, wb, bidx):
+            vals = block_values(gs, wb, scale_len, pack_S, S, np)
+            rows = vals.T  # (S, k)
+            salts = (
+                salt_words_device(klo, khi, S, np, indices=bidx)
+                if salted else None
+            )
+            return leaf_digests(rows, salts, np)
+    else:
+        import jax
+
+        @jax.jit
+        def block_fn(gs, wb, bidx):
+            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            rows = vals.T
+            salts = (
+                salt_words_device(klo, khi, S, xp, indices=bidx)
+                if salted else None
+            )
+            return leaf_digests(rows, salts, xp)
+
+    acc = StreamAccumulator(xp)
+    for b in range(B):
+        wb = xp.asarray(
+            np.asarray([f.h_pow(omega, b)], dtype=U64)
+        )
+        bidx = xp.asarray(
+            (b + B * np.arange(S, dtype=np.int64)).astype(np.uint32)
+        )
+        acc.add(block_fn(tuple(groups), wb, bidx))
+        if progress is not None:
+            progress(b)
+    lvl, top = acc.finish()
+    assert lvl == (B - 1).bit_length()
+    if salted:
+        return StreamedSaltedMerkle(N, B, top, xp, salt_key)
+    return StreamedMerkle(N, B, top, xp)
+
+
+def reopen_rows(groups, plan, xp):
+    """Second streaming pass factory: returns rows_for_positions(positions)
+    suitable for StreamedMerkle.resolve — re-evaluates every class,
+    gathering only the requested positions (ONE host transfer total)."""
+    N, B, S = plan["N"], plan["B"], plan["S"]
+    pack_S = plan["pack_S"]
+    omega = plan["omega"]
+    scale_len = max(int(g.shape[1]) for g in groups)
+
+    if xp is np:
+        def block_vals(gs, wb, pos):
+            vals = block_values(gs, wb, scale_len, pack_S, S, np)
+            return vals.T[pos]
+    else:
+        import jax
+
+        @jax.jit
+        def block_vals(gs, wb, pos):
+            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            return xp.take(vals.T, pos, axis=0)
+
+    def rows_for_positions(positions):
+        pos = (
+            np.asarray(positions, dtype=np.int32)
+            if positions else np.zeros((0,), dtype=np.int32)
+        )
+        pos_dev = xp.asarray(pos)
+        per_class = []
+        for b in range(B):
+            wb = xp.asarray(np.asarray([f.h_pow(omega, b)], dtype=U64))
+            per_class.append(block_vals(tuple(groups), wb, pos_dev))
+        if xp is np:
+            host = [np.asarray(v) for v in per_class]
+        else:
+            import jax
+
+            host = jax.device_get(per_class)
+        # host[b][j] = row of leaf positions[j]·B + b -> (Q, B, k)
+        return np.stack(host, axis=1)
+
+    return rows_for_positions
+
+
+def make_stream_plan(N: int, B: int, omega: int, xp):
+    """Shared per-domain tables for streamed evaluation: the size-S NTT
+    pack with root ω^B."""
+    S = N // B
+    pack_S = nt.make_pack(S, f.h_pow(omega, B), False, xp)
+    return {"N": N, "B": B, "S": S, "pack_S": pack_S, "omega": omega}

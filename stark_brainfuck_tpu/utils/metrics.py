@@ -35,10 +35,15 @@ class StageTimer:
 
                 # block_until_ready is unreliable through remote-tunnel
                 # backends (returns before execution completes); a 1-element
-                # device_get is a true sync barrier
-                for leaf in jax.tree_util.tree_leaves(sync):
-                    if hasattr(leaf, "ravel"):
-                        jax.device_get(leaf.ravel()[:1])
+                # device_get is a true sync barrier. ONE batched get for all
+                # leaves — each separate get costs a full tunnel round trip.
+                leaves = [
+                    leaf.ravel()[:1]
+                    for leaf in jax.tree_util.tree_leaves(sync)
+                    if hasattr(leaf, "ravel")
+                ]
+                if leaves:
+                    jax.device_get(leaves)
             except Exception:
                 pass
         now = time.time()

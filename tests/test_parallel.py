@@ -89,8 +89,8 @@ def test_sharded_prove_core_matches_unsharded():
             acc, _ = core(
                 inputs["mats"], inputs["rand_coeffs"], inputs["base_rands"],
                 inputs["ext_rands"], inputs["challenges"], inputs["initials"],
-                inputs["weights"], inputs["shifts"], inputs["offset_pows"],
-                inputs["omega_powers"], inputs["zinv_flat"],
+                inputs["weights"], inputs["shift_ratios"],
+                inputs["offset_pows"], inputs["zinv_flat"],
                 inputs["terminals"], inputs["packs"],
             )
             return np.asarray(acc)
