@@ -53,7 +53,7 @@ def _fold_math(cw, alpha, ixs, xp):
 
 
 def _fold_device(codeword, alpha_arr, omega: int, offset: int, xp,
-                 with_tree: bool = False):
+                 with_tree: bool = False, mesh=None):
     """One jitted FRI fold round on the device; with_tree=True additionally
     builds the folded codeword's whole Merkle tree in the SAME dispatch
     (fold + tree = one executable, one host round-trip per round). The
@@ -63,9 +63,18 @@ def _fold_device(codeword, alpha_arr, omega: int, offset: int, xp,
     a handful of shapes per proof."""
     import jax
 
-    key = (int(codeword.shape[0]), with_tree)
+    key = (int(codeword.shape[0]), with_tree, mesh)
     if key not in _FOLD_CACHE:
         half = int(codeword.shape[0]) // 2
+
+        def shard(arr):
+            if mesh is None:
+                return arr
+            from ..parallel.mesh import codeword_spec
+
+            return jax.lax.with_sharding_constraint(
+                arr, codeword_spec(mesh, arr.ndim, 0)
+            )
 
         def inv_xs(seeds):
             # seeds = [offset^-1, omega^-1] as a runtime ARGUMENT (embedding
@@ -79,11 +88,11 @@ def _fold_device(codeword, alpha_arr, omega: int, offset: int, xp,
             tree_cut = default_cut(half)
 
             def fold(cw, alpha, seeds):
-                new_cw = _fold_math(cw, alpha, inv_xs(seeds), xp)
+                new_cw = shard(_fold_math(cw, alpha, inv_xs(seeds), xp))
                 return new_cw, build_levels(new_cw, None, xp, tree_cut)
         else:
             def fold(cw, alpha, seeds):
-                return _fold_math(cw, alpha, inv_xs(seeds), xp)
+                return shard(_fold_math(cw, alpha, inv_xs(seeds), xp))
 
         _FOLD_CACHE[key] = jax.jit(fold)
     seeds = xp.asarray(
@@ -170,6 +179,7 @@ class Fri:
         self.num_colinearity_tests = num_colinearity_tests
         self.codec = codec if codec is not None else NativeCodec()
         self.device_commit_min = device_commit_min
+        self.mesh = None  # set by the STARK orchestrator under mesh_shape
         assert self.num_rounds() >= 1, "FRI needs at least one round"
 
     def num_rounds(self) -> int:
@@ -269,7 +279,7 @@ class Fri:
                         codeword,
                         xp.asarray(np.asarray(alpha, dtype=U64)),
                         omega, offset, xp,
-                        with_tree=True,
+                        with_tree=True, mesh=self.mesh,
                     )
                     from .device_merkle import default_cut as _dc
 
@@ -280,7 +290,7 @@ class Fri:
                     codeword = _fold_device(
                         codeword,
                         xp.asarray(np.asarray(alpha, dtype=U64)),
-                        omega, offset, xp,
+                        omega, offset, xp, mesh=self.mesh,
                     )
             else:
                 inv_xs = f.mul(

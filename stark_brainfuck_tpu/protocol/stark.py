@@ -400,11 +400,11 @@ class BrainfuckStark:
                 )
         all_coeffs = xp.concatenate(rows, axis=0)
         all_cws = self._fwd_ntt(all_coeffs, packs, xp)
-        rand_cw = xp.moveaxis(all_cws[:3], 0, -1)  # (N, 3)
+        rand_cw = self._shard(xp.moveaxis(all_cws[:3], 0, -1), 0)  # (N, 3)
         base_cws = []
         pos = 3
         for t in self.tables:
-            base_cws.append(all_cws[pos : pos + t.base_width])
+            base_cws.append(self._shard(all_cws[pos : pos + t.base_width], 1))
             pos += t.base_width
         return rand_cw, tuple(base_cws)
 
@@ -510,7 +510,7 @@ class BrainfuckStark:
                 )
                 continue
             block = all_cws[pos : pos + 3 * n_ext].reshape((n_ext, 3, N))
-            ext_cws.append(xp.moveaxis(block, 1, -1))  # (n_ext, N, 3)
+            ext_cws.append(self._shard(xp.moveaxis(block, 1, -1), 1))
             pos += 3 * n_ext
         return tuple(ext_cws)
 
@@ -664,6 +664,22 @@ class BrainfuckStark:
             cache[name] = jax.jit(fn)
         return cache[name]
 
+    def _shard(self, arr, axis: int):
+        """Sharding constraint over the FRI-domain axis when proving under
+        a mesh (config.mesh_shape); identity otherwise. Stages trace this
+        at jit time, so a mesh is fixed per instance (build a fresh
+        BrainfuckStark to change meshes)."""
+        mesh = getattr(self, "_mesh", None)
+        if mesh is None:
+            return arr
+        import jax
+
+        from ..parallel.mesh import codeword_spec
+
+        return jax.lax.with_sharding_constraint(
+            arr, codeword_spec(mesh, arr.ndim, axis)
+        )
+
     # -- combination pipeline pieces ------------------------------------
     # The monolithic fused combination graph miscompiled on TPU at N=2^19
     # (wrong values in the final tile rows; every constituent pattern is
@@ -702,7 +718,7 @@ class BrainfuckStark:
             else:
                 contrib = xf.mul(c, stack[start:stop], xp)
             acc = xf.add(acc, _tree_sum(contrib, xp), xp)
-        return acc
+        return self._shard(acc, 0)
 
     def _table_quotient_stack(
         self, ti, base_cw, ext_cw, challenges, terminals, zinv_triple, xp,
@@ -734,7 +750,7 @@ class BrainfuckStark:
             "terminal": zinv_triple[2],
         }
         q = t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
-        return xp.stack(q, axis=0)
+        return self._shard(xp.stack(q, axis=0), 1)
 
     # -- streamed (strided-block) prover pieces --------------------------
     # At FRI domains >= config.stream_min, full base/ext codewords never
@@ -1209,6 +1225,19 @@ class BrainfuckStark:
         fri = self.fri
         N = fri.domain.length
 
+        # sharded proving: build the mesh once per instance; every stage
+        # carries codeword-axis sharding constraints (self._shard), XLA
+        # inserts the collectives. Proof bytes are mesh-invariant
+        # (tests/test_parallel.py).
+        if use_jit and cfg.mesh_shape and getattr(self, "_mesh", None) is None:
+            from ..parallel.mesh import make_mesh
+
+            n_dev = 1
+            for _, size in cfg.mesh_shape:
+                n_dev *= size
+            self._mesh = make_mesh(n_dev)
+        self.fri.mesh = getattr(self, "_mesh", None)
+
         from ..utils.metrics import StageTimer
 
         timer = StageTimer()
@@ -1290,8 +1319,10 @@ class BrainfuckStark:
             tree_cut = dm_default_cut(N)
 
             def _commit_base(r, cws, kl, kh):
-                zipped = xp.concatenate([r] + [cw.T for cw in cws], axis=1)
-                salts = salt_words_device(kl, kh, N, xp)
+                zipped = self._shard(
+                    xp.concatenate([r] + [cw.T for cw in cws], axis=1), 0
+                )
+                salts = self._shard(salt_words_device(kl, kh, N, xp), 0)
                 return zipped, salts, dm_build_levels(
                     zipped, salts, xp, tree_cut
                 )
@@ -1414,11 +1445,14 @@ class BrainfuckStark:
             tree_cut = dm_default_cut(N)
 
             def _commit_ext(cws, kl, kh):
-                zipped = xp.concatenate(
-                    [xp.moveaxis(cw, 0, 1).reshape(N, -1) for cw in cws],
-                    axis=1,
+                zipped = self._shard(
+                    xp.concatenate(
+                        [xp.moveaxis(cw, 0, 1).reshape(N, -1) for cw in cws],
+                        axis=1,
+                    ),
+                    0,
                 )
-                salts = salt_words_device(kl, kh, N, xp)
+                salts = self._shard(salt_words_device(kl, kh, N, xp), 0)
                 return zipped, salts, dm_build_levels(
                     zipped, salts, xp, tree_cut
                 )

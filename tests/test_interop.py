@@ -206,3 +206,36 @@ print("SHIM_OK")
         env=env,
     )
     assert "SHIM_OK" in out.stdout, out.stderr[-2000:]
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_midsize_proof_accepted_by_reference_verifier():
+    """A ~2^8-cycle workload (FRI domain 2^14) through the ref codec: our
+    host prover's proof must be accepted by the unmodified reference
+    verifier — format compatibility beyond the T<=6 toy cases (VERDICT r2
+    item 8)."""
+    add_reference_to_path()
+    src = "+" * 12 + "[->++++[-]<]"  # ~270 cycles
+    program = VirtualMachine.compile(src)
+    trace = VirtualMachine.simulate(program)
+    assert trace["processor"].shape[0] >= 200
+    bfs = BrainfuckStark(
+        trace["processor"].shape[0], trace["memory"].shape[0], program,
+        "", trace["output_data"], StarkConfig(seed=1, codec="ref"),
+    )
+    proof = bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=np,
+    )
+
+    from brainfuck_stark import BrainfuckStark as RefStark
+    from vm import VirtualMachine as RefVM
+
+    ref_program = RefVM.compile(src)
+    ref = RefStark(
+        trace["processor"].shape[0], trace["memory"].shape[0], ref_program,
+        [], list(trace["output_data"]),
+    )
+    assert ref.verify(proof), (
+        "reference verifier must accept our mid-size ref-format proof"
+    )

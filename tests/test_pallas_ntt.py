@@ -70,3 +70,34 @@ def test_outer_twiddle_factorization():
             vh = L.h_from_limbs(hi[:, b // 128, ci])
             vl = L.h_from_limbs(lo[:, b % 128, ci])
             assert f.h_mul(vh, vl) == want
+
+
+@pytest.mark.parametrize("logn", [10, 14])
+def test_ntt_pallas_interpret_mode(logn):
+    """The REAL pallas_call plumbing (grid, BlockSpecs, index maps, and for
+    n > SUB_MAX the composed two-sub-NTT + outer-twiddle pipeline) in
+    interpret mode — a Mosaic-layout regression fails here on CPU instead
+    of only on the TPU bench (VERDICT r2 item 7)."""
+    import jax.numpy as jnp
+
+    n = 1 << logn
+    root = f.primitive_nth_root(n)
+    plan = PN.make_pallas_plan(n, root, False, jnp)
+    if logn > 13:
+        assert plan.sub_c is not None, "case must cover the composed path"
+    v = RNG.integers(0, f.P, size=(2, n), dtype=np.uint64)
+    got = np.asarray(PN.ntt_pallas(jnp.asarray(v), plan, interpret=True))
+    want = nt.ntt_with(v, nt.make_pack(n, root, False, np), np)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ntt_pallas_interpret_inverse():
+    import jax.numpy as jnp
+
+    n = 1 << 10
+    root = f.primitive_nth_root(n)
+    plan = PN.make_pallas_plan(n, root, True, jnp)
+    v = RNG.integers(0, f.P, size=(1, n), dtype=np.uint64)
+    got = np.asarray(PN.ntt_pallas(jnp.asarray(v), plan, interpret=True))
+    want = nt.ntt_with(v, nt.make_pack(n, root, True, np), np)
+    np.testing.assert_array_equal(got, want)
