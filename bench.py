@@ -22,28 +22,33 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def counter_program(target_cycles: int) -> str:
-    """Two-level counter tuned so running time lands in
-    [target, 1.25*target)."""
+    """Two-level counter tuned so the padded table heights stay INSIDE the
+    target power-of-two bucket: the largest program whose running time
+    plus program length is < target. (Overshooting by even one cycle
+    doubles every table height and therefore the FRI domain — 2x the
+    whole prove for the same nominal scale.)"""
     from stark_brainfuck_tpu import VirtualMachine
 
     b = 32
     inner = "[->" + "+" * b + "[-]<]"
+
+    def runtime(outer):
+        src = "+" * outer + inner
+        program = VirtualMachine.compile(src)
+        rt, _, _ = VirtualMachine.run(program)
+        return rt + len(program)
+
     lo, hi = 1, 1
-    # exponential then binary search on the outer count
-    while True:
-        src = "+" * hi + inner
-        rt, _, _ = VirtualMachine.run(VirtualMachine.compile(src))
-        if rt >= target_cycles:
-            break
+    while runtime(hi) < target_cycles:
         lo, hi = hi, hi * 2
+    # largest outer count with runtime < target
     while lo + 1 < hi:
         mid = (lo + hi) // 2
-        rt, _, _ = VirtualMachine.run(VirtualMachine.compile("+" * mid + inner))
-        if rt >= target_cycles:
-            hi = mid
-        else:
+        if runtime(mid) < target_cycles:
             lo = mid
-    return "+" * hi + inner
+        else:
+            hi = mid
+    return "+" * lo + inner
 
 
 def main():
@@ -78,10 +83,16 @@ def main():
     t_sim = time.time() - t0
     cycles = int(trace["processor"].shape[0])
 
+    cfg_kwargs = {"seed": 0}
+    if os.environ.get("BENCH_STREAM_MIN"):
+        cfg_kwargs["stream_min"] = int(os.environ["BENCH_STREAM_MIN"])
+    if os.environ.get("BENCH_STREAM_CLASSES"):
+        cfg_kwargs["stream_classes"] = int(os.environ["BENCH_STREAM_CLASSES"])
+
     def build():
         return BrainfuckStark(
             trace["processor"].shape[0], trace["memory"].shape[0], program,
-            "", trace["output_data"], StarkConfig(seed=0),
+            "", trace["output_data"], StarkConfig(**cfg_kwargs),
         )
 
     bfs = build()

@@ -54,43 +54,72 @@ def main():
     offset = f.GENERATOR
 
     rng = np.random.default_rng(0)
-    coeffs = rng.integers(0, f.P, (3, d), dtype=np.uint64)
+    # 48 limb rows ~ the prover's committed-row batch (3 randomizer limbs
+    # + 19 base columns + 27 extension limb rows) — one RTT amortized over
+    # a production-shaped NTT batch
+    rows = int(os.environ.get("NTTFRI_ROWS", "48"))
+    coeffs = rng.integers(0, f.P, (rows, d), dtype=np.uint64)
     coeffs_dev = jax.device_put(coeffs)
     sync(coeffs_dev)
 
-    # --- LDE: scale + zero-pad + forward N-point NTT (production path) ---
-    pack = nt.make_pack(N, omega, False, jnp)
+    # --- LDE: scale + zero-pad + forward N-point NTT (production path;
+    # NTTFRI_MXU=1 routes through the int8-limb MXU Pallas kernel) ---
+    use_mxu = bool(os.environ.get("NTTFRI_MXU"))
     scale = nt.scale_table(offset, d, jnp)
-
-    def lde(c):
-        scaled = f.mul(c, scale, jnp)
-        padded = jnp.concatenate(
-            [scaled, jnp.zeros((3, N - d), dtype=jnp.uint64)], axis=-1
+    if use_mxu:
+        from stark_brainfuck_tpu.ops.pallas_ntt import (
+            make_pallas_plan, ntt_pallas, plan_leaves, plan_rebind,
         )
-        return nt.ntt_with(padded, pack, jnp)
+
+        template = make_pallas_plan(N, omega, False, jnp)
+        leaves = plan_leaves(template)
+
+        def lde(c, lv):
+            scaled = f.mul(c, scale, jnp)
+            padded = jnp.concatenate(
+                [scaled, jnp.zeros((rows, N - d), dtype=jnp.uint64)],
+                axis=-1,
+            )
+            return ntt_pallas(padded, plan_rebind(template, lv))
+    else:
+        pack = nt.make_pack(N, omega, False, jnp)
+        leaves = None
+
+        def lde(c, lv):
+            scaled = f.mul(c, scale, jnp)
+            padded = jnp.concatenate(
+                [scaled, jnp.zeros((rows, N - d), dtype=jnp.uint64)],
+                axis=-1,
+            )
+            return nt.ntt_with(padded, pack, jnp)
 
     lde_j = jax.jit(lde)
     t0 = time.perf_counter()
-    cw = lde_j(coeffs_dev)
+    cw = lde_j(coeffs_dev, leaves)
     sync(cw)
     warm_lde = time.perf_counter() - t0
     reps = 5
     best_lde = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        cw = lde_j(coeffs_dev)
+        cw = lde_j(coeffs_dev, leaves)
         sync(cw)
         best_lde = min(best_lde, time.perf_counter() - t0)
-    butterflies = 3 * (N // 2) * log2_n
+    butterflies = rows * (N // 2) * log2_n
 
-    # --- FRI prove/verify over the codeword ---
-    codeword = jnp.moveaxis(cw, 0, -1)  # (N, 3)
+    # --- FRI prove/verify over the codeword (3 of the limb rows) ---
+    codeword = jnp.moveaxis(cw[:3], 0, -1)  # (N, 3)
     fri = Fri(offset, omega, N, expansion, 1, codec=NativeCodec())
+
+    from stark_brainfuck_tpu.protocol.device_merkle import DeviceMerkle
 
     def fri_once():
         stream = fri.codec.make_stream()
         t0 = time.perf_counter()
-        fri.prove(codeword, stream, xp=jnp)
+        # the caller (the STARK) owns the round-0 commitment; mirror that
+        tree0 = DeviceMerkle(codeword, jnp)
+        stream.push(tree0.root())
+        fri.prove(codeword, stream, xp=jnp, tree0=tree0)
         dt = time.perf_counter() - t0
         return dt, stream.serialize()
 
@@ -111,12 +140,14 @@ def main():
     # fold throughput: sum over rounds of codeword length (elements folded)
     folded = sum(N >> r for r in range(fri.num_rounds()))
     out = {
-        "metric": f"ntt_fri_standalone_2e{log2_n}",
+        "metric": f"ntt_fri_standalone_2e{log2_n}"
+        + ("_mxu" if use_mxu else ""),
         "value": round(butterflies / best_lde / 1e6, 1),
         "unit": "M butterflies/s",
         "detail": {
             "domain": N,
             "degree_bound": d,
+            "lde_rows": rows,
             "lde_s": round(best_lde, 4),
             "lde_warm_s": round(warm_lde, 2),
             "butterflies": butterflies,

@@ -54,10 +54,11 @@ def make_dntt_tables(n: int, root: int, xp):
     return R, C, pack_r, pack_c, xp.asarray(T)
 
 
-def distributed_ntt(values, root: int, mesh, axis: str = "shard"):
-    """NTT of u64 rows (B, N) across `mesh` (1-D). Returns (B, N) in natural
-    order. N must be divisible by (mesh size)^2-ish: C and R each divisible
-    by the device count."""
+def distributed_ntt_with(values, tables, mesh, axis: str = "shard"):
+    """NTT of u64 rows (B, N) across `mesh` (1-D) with PREBUILT tables
+    (pass them as runtime args through any enclosing jit — building them
+    at trace time embeds N-sized constants). Returns (B, N) natural order.
+    C and R must each be divisible by the device count."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -65,7 +66,7 @@ def distributed_ntt(values, root: int, mesh, axis: str = "shard"):
 
     B, N = values.shape
     D = mesh.devices.size
-    R, C, pack_r, pack_c, T = make_dntt_tables(N, root, jnp)
+    R, C, pack_r, pack_c, T = tables
     assert C % D == 0 and R % D == 0, (
         f"mesh size {D} must divide both NTT factors {R}x{C}"
     )
@@ -96,6 +97,14 @@ def distributed_ntt(values, root: int, mesh, axis: str = "shard"):
     )
     out = fn(x, T)
     return out.reshape(B, N)
+
+
+def distributed_ntt(values, root: int, mesh, axis: str = "shard"):
+    """Convenience wrapper building the tables inline (tests / eager use)."""
+    import jax.numpy as jnp
+
+    tables = make_dntt_tables(values.shape[1], root, jnp)
+    return distributed_ntt_with(values, tables, mesh, axis)
 
 
 def distributed_coset_evaluate(coeffs, offset: int, root: int, length: int,

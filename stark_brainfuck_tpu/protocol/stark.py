@@ -315,7 +315,10 @@ class BrainfuckStark:
         )
         # key includes the resolved NTT decision: changing ntt_backend /
         # mxu_ntt_min between prove() calls must not reuse stale packs
-        key = ("np" if xp is np else "jax", use_mxu)
+        key = (
+            "np" if xp is np else "jax", use_mxu,
+            getattr(self, "_mesh", None) is not None,
+        )
         cache = getattr(self, "_packs_cache", None)
         if cache is not None and cache[0] == key:
             return cache[1]
@@ -324,8 +327,20 @@ class BrainfuckStark:
             from ..ops.pallas_ntt import make_pallas_plan
 
             fwd_mxu = make_pallas_plan(N, fri.domain.omega, False, xp)
+        dntt_tables = None
+        mesh = getattr(self, "_mesh", None)
+        if mesh is not None and not use_mxu:
+            from ..parallel.dntt import make_dntt_tables
+
+            D = mesh.devices.size
+            R, C, pack_r, pack_c, T = make_dntt_tables(
+                N, fri.domain.omega, xp
+            )
+            if R % D == 0 and C % D == 0:
+                dntt_tables = (R, C, pack_r, pack_c, T)
         packs = {
             "fwd_mxu": fwd_mxu,
+            "dntt": dntt_tables,
             "fwd": nt.make_pack(N, fri.domain.omega, False, xp),
             "rand_scale": nt.scale_table(fri.domain.offset, self.max_degree + 1, xp),
             "tables": tuple(
@@ -350,8 +365,10 @@ class BrainfuckStark:
 
     def _fwd_ntt(self, coeffs, packs, xp):
         """The shared forward N-point NTT of both LDE stages: the int8-limb
-        MXU path (ops/pallas_ntt.py) when configured, else the u64
-        butterfly network — bit-identical outputs."""
+        MXU path (ops/pallas_ntt.py) when configured, the explicit
+        shard_map four-step dNTT (parallel/dntt.py — all_to_all index
+        mixing over ICI) under a mesh, else the u64 butterfly network —
+        bit-identical outputs in every case."""
         from ..ops import ntt as nt
 
         plan = packs.get("fwd_mxu")
@@ -359,6 +376,11 @@ class BrainfuckStark:
             from ..ops.pallas_ntt import ntt_pallas, plan_rebind
 
             return ntt_pallas(coeffs, plan_rebind(self._mxu_template, plan))
+        dntt_tables = packs.get("dntt")
+        if dntt_tables is not None and xp is not np:
+            from ..parallel.dntt import distributed_ntt_with
+
+            return distributed_ntt_with(coeffs, dntt_tables, self._mesh)
         return nt.ntt_with(coeffs, packs["fwd"], xp)
 
     # -- jittable prover stages ----------------------------------------

@@ -84,8 +84,9 @@ def block_values(groups: Sequence, wb, scale_len: int, pack_S, S: int, xp):
 
 class StreamAccumulator:
     """Binary-counter Merkle accumulation over class digest blocks: feed
-    class digests in order b = 0..B-1; at most log2(B) (S, 8)-digest pairs
-    are pending at any time."""
+    class digests in order b = 0..B-1 (optionally pre-reduced group
+    digests at a given level); at most log2(B) (S, 8)-digest pairs are
+    pending at any time."""
 
     def __init__(self, xp):
         self.xp = xp
@@ -108,8 +109,8 @@ class StreamAccumulator:
             )
         return self._jit(left[0], left[1], right[0], right[1])
 
-    def add(self, digests):
-        lvl = 0
+    def add(self, digests, level: int = 0):
+        lvl = level
         d = digests
         while lvl in self.pending:
             left = self.pending.pop(lvl)
@@ -243,6 +244,19 @@ def salt_words_host(seed_bytes: bytes, indices: np.ndarray):
     )
 
 
+def group_size_for(B: int, S: int, group_env: Optional[int] = None) -> int:
+    """Classes per dispatch: amortize the per-dispatch host cost of a
+    remote-tunnel backend without letting a group's transient block values
+    grow past ~1 GiB (XLA frees each class's values before the next, but
+    stay conservative)."""
+    if group_env:
+        return min(group_env, B)
+    g = 1
+    while g < B and g < 8 and g * S <= (1 << 23):
+        g *= 2
+    return g
+
+
 def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
                     progress=None):
     """First streaming pass: evaluate + hash + accumulate every class.
@@ -250,49 +264,60 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     groups: offset-prescaled coefficient groups (device arrays).
     plan: dict with N, B, S, pack_S, omega (domain root), zip order is the
     group-concatenated row order — leaf row i = values[:, q] of class b.
-    Returns (tree, None) where tree is Streamed[Salted]Merkle."""
+    G consecutive classes are evaluated, hashed, AND pair-reduced log2(G)
+    levels inside ONE dispatch (classes b0..b0+G-1 form complete sibling
+    subtrees), so the host issues B/G calls with no per-class uploads —
+    class constants (ω^b, salt counters) are generated in-graph from the
+    one (B,) ω-power table.
+    Returns a Streamed[Salted]Merkle."""
     N, B, S = plan["N"], plan["B"], plan["S"]
     pack_S = plan["pack_S"]
     omega = plan["omega"]
     scale_len = max(int(g.shape[1]) for g in groups)
     salted = salt_key is not None
+    G = group_size_for(B, S, plan.get("group"))
     if salted:
         klo, khi = salt_key_limbs(salt_key)
         klo, khi = xp.asarray(klo), xp.asarray(khi)
+    wbs = xp.asarray(
+        np.asarray([f.h_pow(omega, b) for b in range(B)], dtype=U64)
+    )
+    biota = xp.asarray((np.arange(S, dtype=np.int64) * B).astype(np.uint32))
+
+    def group_fn_body(gs, wbs_all, b0):
+        digs = []
+        for j in range(G):
+            wb = wbs_all[b0 + j : b0 + j + 1]
+            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            rows = vals.T
+            salts = None
+            if salted:
+                bidx = biota + (b0 + j)
+                salts = salt_words_device(klo, khi, S, xp, indices=bidx)
+            digs.append(leaf_digests(rows, salts, xp))
+        while len(digs) > 1:
+            digs = [
+                B2.merkle_parents_pair(
+                    digs[2 * i][0], digs[2 * i][1],
+                    digs[2 * i + 1][0], digs[2 * i + 1][1], xp,
+                )
+                for i in range(len(digs) // 2)
+            ]
+        return digs[0]
 
     if xp is np:
-        def block_fn(gs, wb, bidx):
-            vals = block_values(gs, wb, scale_len, pack_S, S, np)
-            rows = vals.T  # (S, k)
-            salts = (
-                salt_words_device(klo, khi, S, np, indices=bidx)
-                if salted else None
-            )
-            return leaf_digests(rows, salts, np)
+        group_fn = group_fn_body
     else:
         import jax
 
-        @jax.jit
-        def block_fn(gs, wb, bidx):
-            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
-            rows = vals.T
-            salts = (
-                salt_words_device(klo, khi, S, xp, indices=bidx)
-                if salted else None
-            )
-            return leaf_digests(rows, salts, xp)
+        group_fn = jax.jit(group_fn_body, static_argnums=(2,))
 
     acc = StreamAccumulator(xp)
-    for b in range(B):
-        wb = xp.asarray(
-            np.asarray([f.h_pow(omega, b)], dtype=U64)
-        )
-        bidx = xp.asarray(
-            (b + B * np.arange(S, dtype=np.int64)).astype(np.uint32)
-        )
-        acc.add(block_fn(tuple(groups), wb, bidx))
+    glvl = (G - 1).bit_length()
+    for b0 in range(0, B, G):
+        acc.add(group_fn(tuple(groups), wbs, b0), level=glvl)
         if progress is not None:
-            progress(b)
+            progress(b0)
     lvl, top = acc.finish()
     assert lvl == (B - 1).bit_length()
     if salted:
@@ -302,24 +327,34 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
 
 def reopen_rows(groups, plan, xp):
     """Second streaming pass factory: returns rows_for_positions(positions)
-    suitable for StreamedMerkle.resolve — re-evaluates every class,
-    gathering only the requested positions (ONE host transfer total)."""
+    suitable for StreamedMerkle.resolve — re-evaluates every class (G per
+    dispatch), gathering only the requested positions (ONE host transfer
+    total)."""
     N, B, S = plan["N"], plan["B"], plan["S"]
     pack_S = plan["pack_S"]
     omega = plan["omega"]
     scale_len = max(int(g.shape[1]) for g in groups)
+    G = group_size_for(B, S, plan.get("group"))
+    wbs_np = np.asarray([f.h_pow(omega, b) for b in range(B)], dtype=U64)
+    wbs = xp.asarray(wbs_np)
+
+    def group_vals_body(gs, wbs_all, pos, b0):
+        out = []
+        for j in range(G):
+            wb = wbs_all[b0 + j : b0 + j + 1]
+            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            if xp is np:
+                out.append(vals.T[pos])
+            else:
+                out.append(xp.take(vals.T, pos, axis=0))
+        return xp.stack(out, axis=1)  # (Q, G, k)
 
     if xp is np:
-        def block_vals(gs, wb, pos):
-            vals = block_values(gs, wb, scale_len, pack_S, S, np)
-            return vals.T[pos]
+        group_vals = group_vals_body
     else:
         import jax
 
-        @jax.jit
-        def block_vals(gs, wb, pos):
-            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
-            return xp.take(vals.T, pos, axis=0)
+        group_vals = jax.jit(group_vals_body, static_argnums=(3,))
 
     def rows_for_positions(positions):
         pos = (
@@ -327,18 +362,18 @@ def reopen_rows(groups, plan, xp):
             if positions else np.zeros((0,), dtype=np.int32)
         )
         pos_dev = xp.asarray(pos)
-        per_class = []
-        for b in range(B):
-            wb = xp.asarray(np.asarray([f.h_pow(omega, b)], dtype=U64))
-            per_class.append(block_vals(tuple(groups), wb, pos_dev))
+        per_group = [
+            group_vals(tuple(groups), wbs, pos_dev, b0)
+            for b0 in range(0, B, G)
+        ]
         if xp is np:
-            host = [np.asarray(v) for v in per_class]
+            host = [np.asarray(v) for v in per_group]
         else:
             import jax
 
-            host = jax.device_get(per_class)
-        # host[b][j] = row of leaf positions[j]·B + b -> (Q, B, k)
-        return np.stack(host, axis=1)
+            host = jax.device_get(per_group)
+        # concat groups -> (Q, B, k)
+        return np.concatenate(host, axis=1)
 
     return rows_for_positions
 
