@@ -99,3 +99,48 @@ def test_sharded_prove_core_matches_unsharded():
     unsharded = run(None)
     sharded = run(8)
     assert np.array_equal(unsharded, sharded)
+
+
+@needs_devices
+def test_prove_bytes_mesh_invariant():
+    """Full production prove() under mesh sizes 1/2/8 on a >=2^10-cycle
+    trace: the serialized proof BYTES must be identical — the strongest
+    form of the sharding-determinism ('race detector') guarantee, and the
+    multi-chip path the driver dry-runs (__graft_entry__.dryrun_multichip).
+    """
+    from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+
+    # largest counter program whose runtime + program length stays inside
+    # the 2^10 bucket (same construction as bench.py)
+    inner = "[->" + "+" * 32 + "[-]<]"
+    lo, hi = 1, 64
+    while lo + 1 < hi:
+        mid = (lo + hi) // 2
+        program = VirtualMachine.compile("+" * mid + inner)
+        rt, _, _ = VirtualMachine.run(program)
+        if rt + len(program) < (1 << 10):
+            lo = mid
+        else:
+            hi = mid
+    src = "+" * lo + inner
+    program = VirtualMachine.compile(src)
+    trace = VirtualMachine.simulate(program)
+    assert trace["processor"].shape[0] >= (1 << 9)
+
+    def run(mesh_shape):
+        bfs = BrainfuckStark(
+            trace["processor"].shape[0], trace["memory"].shape[0], program,
+            "", trace["output_data"],
+            StarkConfig(seed=0, mesh_shape=mesh_shape),
+        )
+        proof = bfs.prove(
+            trace["processor"], trace["memory"], trace["instruction"],
+            trace["input"], trace["output"],
+        )
+        assert bfs.verify(proof)
+        return proof
+
+    p1 = run(None)
+    p2 = run((("shard", 2),))
+    p8 = run((("shard", 8),))
+    assert p1 == p2 == p8
