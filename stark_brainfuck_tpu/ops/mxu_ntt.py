@@ -1,4 +1,11 @@
-"""MXU-form NTT: radix-128 Cooley-Tukey with int8 limb matmuls.
+"""MXU-form NTT numpy TEST ORACLE (not part of the compute path).
+
+The production MXU kernels live in ops/pallas_ntt.py; this module is the
+plain-numpy model of the same radix-128 limb-matmul decomposition, kept
+only so tests/test_mxu_ntt.py and tests/test_pallas_ntt.py can check the
+Pallas kernels against an independent implementation.
+
+MXU-form NTT: radix-128 Cooley-Tukey with int8 limb matmuls.
 
 The u64 butterfly NTT (ops/ntt.py) is VPU-bound on emulated 64-bit
 multiplies (~2 Gmul/s measured). Here every radix-r DFT is a single

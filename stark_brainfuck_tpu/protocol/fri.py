@@ -130,6 +130,20 @@ class FriDomain:
         return f.mul(f.powers(self.omega, self.length, xp),
                      xp.asarray(self.offset, dtype=xp.uint64), xp)
 
+    def evaluate(self, coeffs, xp=np):
+        """Evaluate a base-field polynomial (coeffs (d,)) on the domain
+        (ref fri.py:26-30)."""
+        return nt.coset_evaluate(
+            coeffs[None, :], self.offset, self.omega, self.length, xp
+        )[0]
+
+    def interpolate(self, values, xp=np):
+        """Interpolate base-field values (length,) -> coefficients
+        (ref fri.py:32-34)."""
+        return nt.coset_interpolate(
+            values[None, :], self.offset, self.omega, xp
+        )[0]
+
     def xevaluate(self, xcoeffs, xp=np):
         """Evaluate an extension polynomial (coeffs (d, 3)) on the domain."""
         c = xp.moveaxis(xcoeffs, -1, 0)  # (3, d)

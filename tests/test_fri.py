@@ -73,3 +73,22 @@ def test_fri_rejects_corrupted_low_order_coeffs():
         [encode_leaf(tuple(int(v) for v in row)) for row in cw]
     ).root()
     assert not fri.verify(vs, root)
+
+
+def test_domain_base_evaluate_interpolate_roundtrip():
+    """FriDomain.evaluate/interpolate (base-field variants, ref fri.py:26-37)
+    invert each other and agree with naive pointwise evaluation."""
+    fri = make_fri(n=64)
+    d = fri.domain
+    coeffs = RNG.integers(0, f.P, size=(17,), dtype=np.uint64)
+    values = np.asarray(d.evaluate(coeffs, np))
+    # naive check at a few points
+    for i in [0, 1, 5, 63]:
+        x = d(i)
+        acc, xp_pow = 0, 1
+        for c in coeffs:
+            acc = (acc + int(c) * xp_pow) % f.P
+            xp_pow = (xp_pow * x) % f.P
+        assert int(values[i]) == acc
+    back = np.asarray(d.interpolate(values, np))
+    assert np.all(back[:17] == coeffs) and np.all(back[17:] == 0)
