@@ -52,7 +52,7 @@ def counter_program(target_cycles: int) -> str:
 
 
 def main():
-    log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "12"))
+    log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "14"))
     import jax
 
     # persist compiled executables across runs — stage compiles dominate

@@ -206,34 +206,11 @@ def _pallas_available() -> bool:
 _PALLAS_OK = None
 
 
-def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
-    """BLAKE2b-512 over a batch of equal-length messages.
-
-    m_lo/m_hi: (..., W) uint32 limb arrays of LE u64 message words
-    (W % 16 == 0, zero-padded past msg_len). msg_len: static message
-    length in bytes, 0 < msg_len <= 8*W, msg_len > 8*(W-16) (i.e. the
-    last block is the last one holding payload). Returns (d_lo, d_hi):
-    (..., 8) uint32 limb arrays of the 64-byte digest.
-
-    On a TPU backend, 2-D batches with a 128-multiple row count run as one
-    fused Pallas kernel (ops/pallas_blake2b.py) — same bytes, VMEM-resident
-    state instead of ~2000 HBM-round-tripping XLA ops per compression.
-    """
-    W = m_lo.shape[-1]
-    assert W % 16 == 0 and W > 0
-    nblocks = W // 16
-    assert 8 * (W - 16) < msg_len <= 8 * W
-    if (
-        xp is not np
-        and m_lo.ndim == 2
-        and m_lo.shape[0] % 128 == 0
-        and _pallas_available()
-    ):
-        from .pallas_blake2b import blake2b_words_pallas
-
-        return blake2b_words_pallas(m_lo, m_hi, msg_len)
+def _blake2b_words_impl(m_lo, m_hi, msg_len: int, xp):
     compress = _compress if xp is np else _compress_jax
     h = _initial_state()
+    W = m_lo.shape[-1]
+    nblocks = W // 16
     # u32 wraparound is the point of the limb arithmetic; scope the numpy
     # overflow-warning suppression to this call (a module-level seterr
     # would mutate global state for unrelated code)
@@ -249,6 +226,63 @@ def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
     lo = xp.stack([h[j][0] for j in range(8)], axis=-1)
     hi = xp.stack([h[j][1] for j in range(8)], axis=-1)
     return lo, hi
+
+
+_JITTED_WORDS: dict = {}
+
+
+def _jitted_words(msg_len: int, use_pallas: bool):
+    """One jax.jit-wrapped hash function per (msg_len, path).
+
+    Every Merkle level / leaf batch routes through these shared jitted
+    callables, so jax's trace cache reuses the (expensive: ~1 s/shape of
+    pure Python) BLAKE2b graph trace across all enclosing jitted stages —
+    FRI round r's tree levels re-trace nothing that round r-1 (or the
+    commit stages) already traced at the same shape."""
+    key = (msg_len, use_pallas)
+    fn = _JITTED_WORDS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        if use_pallas:
+            from .pallas_blake2b import blake2b_words_pallas
+
+            fn = jax.jit(
+                lambda lo, hi: blake2b_words_pallas(lo, hi, msg_len)
+            )
+        else:
+            fn = jax.jit(
+                lambda lo, hi: _blake2b_words_impl(lo, hi, msg_len, jnp)
+            )
+        _JITTED_WORDS[key] = fn
+    return fn
+
+
+def blake2b_words(m_lo, m_hi, msg_len: int, xp=np):
+    """BLAKE2b-512 over a batch of equal-length messages.
+
+    m_lo/m_hi: (..., W) uint32 limb arrays of LE u64 message words
+    (W % 16 == 0, zero-padded past msg_len). msg_len: static message
+    length in bytes, 0 < msg_len <= 8*W, msg_len > 8*(W-16) (i.e. the
+    last block is the last one holding payload). Returns (d_lo, d_hi):
+    (..., 8) uint32 limb arrays of the 64-byte digest.
+
+    On a TPU backend, 2-D batches with a 128-multiple row count run as one
+    fused Pallas kernel (ops/pallas_blake2b.py) — same bytes, VMEM-resident
+    state instead of ~2000 HBM-round-tripping XLA ops per compression.
+    """
+    W = m_lo.shape[-1]
+    assert W % 16 == 0 and W > 0
+    assert 8 * (W - 16) < msg_len <= 8 * W
+    if xp is np:
+        return _blake2b_words_impl(m_lo, m_hi, msg_len, np)
+    use_pallas = (
+        m_lo.ndim == 2
+        and m_lo.shape[0] % 128 == 0
+        and _pallas_available()
+    )
+    return _jitted_words(msg_len, use_pallas)(m_lo, m_hi)
 
 
 def merkle_parents(d_lo, d_hi, xp=np):

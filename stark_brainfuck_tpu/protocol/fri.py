@@ -216,6 +216,8 @@ class Fri:
         existing commitment to the round-0 codeword (the STARK's
         combination tree) — round 0 reuses it instead of rebuilding an
         identical full-size tree."""
+        import time as _time
+
         offset = self.domain.offset
         omega = self.domain.omega
         trees: List[Merkle] = []
@@ -224,6 +226,12 @@ class Fri:
         two_inv = f.h_inverse(2)
         native = self.codec.name == "native"
         on_device = native and xp is not np
+
+        # per-round wall time (commit side): each entry spans one
+        # fold+tree+root+Fiat-Shamir iteration; surfaced through
+        # BrainfuckStark.last_metrics as fri_round_s
+        self.last_round_s: List[float] = []
+        _t_round = _time.time()
 
         pending_tree = None  # device tree built by the previous fused fold
         for r in range(self.num_rounds()):
@@ -324,6 +332,9 @@ class Fri:
 
             omega = f.h_mul(omega, omega)
             offset = f.h_mul(offset, offset)
+            now = _time.time()
+            self.last_round_s.append(round(now - _t_round, 4))
+            _t_round = now
 
         last = leaf_objs[-1]
         if isinstance(last, (_LazyLeaves, _DeviceTreeLeaves)):

@@ -1742,6 +1742,7 @@ class BrainfuckStark:
             extend_rows_per_s=(
                 round(extend_rows / extend_s) if extend_s > 0 else None
             ),
+            fri_round_s=getattr(self.fri, "last_round_s", None),
         )
         return proof
 

@@ -102,6 +102,7 @@ def test_sharded_prove_core_matches_unsharded():
 
 
 @needs_devices
+@pytest.mark.slow
 def test_prove_bytes_mesh_invariant():
     """Full production prove() under mesh sizes 1/2/8 on a >=2^10-cycle
     trace: the serialized proof BYTES must be identical — the strongest

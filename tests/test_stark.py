@@ -41,6 +41,7 @@ def test_prove_verify_loop():
     assert bfs.verify(proof)
 
 
+@pytest.mark.slow
 def test_jax_prover_matches_numpy_prover():
     import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def test_jax_prover_matches_numpy_prover():
     assert bfs.verify(proof_jax)
 
 
+@pytest.mark.slow
 def test_device_commit_path_matches_host_path():
     """A trace large enough to cross StarkConfig.device_commit_min (FRI
     domain >= 4096) takes the device commitment + device FRI path under the
@@ -190,6 +192,7 @@ def test_mallory_forged_trace_rejected():
     assert not bfs.verify(proof), "Mallory's proof must fail to verify"
 
 
+@pytest.mark.slow
 def test_production_security_level():
     """Real security parameters (expansion 16, lambda=64 -> 16 colinearity
     checks; the FRI last codeword caps checks at 2*expansion, the same

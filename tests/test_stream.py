@@ -121,6 +121,7 @@ def _prove_with_config(src, cfg, inp="", xp=np):
     return bfs, proof
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("src,inp", [(",+.", "a"), ("+" * 6 + "[->++<]", "")])
 def test_streamed_prove_matches_resident(src, inp):
     """Full streamed prove (strided-block commits + streamed combination +
