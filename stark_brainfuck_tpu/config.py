@@ -56,6 +56,12 @@ class StarkConfig:
     # table's unit distance N/height — validated (and shrunk) at prove time
     stream_classes: int = 32
 
+    # stage-level prove resume (seeded streamed runs only): directory for
+    # per-stage commitment checkpoints keyed by (claim, stage, seed) —
+    # a killed long prove resumes past completed commit passes to a
+    # bit-identical proof. None disables.
+    checkpoint_dir: Optional[str] = None
+
     # forward-LDE NTT backend: "auto" uses the int8-limb MXU kernels
     # (ops/pallas_ntt.py) on TPU backends for domains >= mxu_ntt_min and
     # the u64 butterfly network otherwise; "u64" / "mxu" force a path.

@@ -115,7 +115,12 @@ def _get_builder(n: int, k: int, salted: bool, xp, cut: int = 0):
         def build(rows, salts):
             return build_levels(rows, salts, xp, cut)
 
-        fn = build if xp is np else __import__("jax").jit(build)
+        if xp is np:
+            fn = build
+        else:
+            from ..utils.aot import aot_jit
+
+            fn = aot_jit(f"dm.build.n{n}.k{k}.s{int(salted)}.c{cut}", build)
     else:
         fn = _chunked_builder(n, cut, xp)
     _BUILDER_CACHE[key] = fn
@@ -128,25 +133,22 @@ def _chunked_builder(n: int, cut: int, xp):
     subtree tops (contiguous leaves — subtrees are tree-aligned), bounding
     transient digest memory at ~2·BUILD_CHUNK·64 B; the upper ladder then
     runs over the concatenated chunk outputs."""
-    import jax
+    from ..utils.aot import aot_jit
 
     K = BUILD_CHUNK
     cut_c = max(cut, 1)
 
-    @jax.jit
-    def chunk(rows, salts):
+    def chunk_fn(rows, salts):
         d_lo, d_hi = leaf_digests(rows, salts, xp)
-        out = []
         level = 0
-        if cut_c == 0:
-            out.append((d_lo, d_hi))
         while level < cut_c:
             d_lo, d_hi = B.merkle_parents(d_lo, d_hi, xp)
             level += 1
         return d_lo, d_hi
 
-    @jax.jit
-    def ladder(d_lo, d_hi):
+    chunk = aot_jit(f"dm.chunk.c{cut_c}", chunk_fn)
+
+    def ladder_fn(d_lo, d_hi):
         count = int(d_lo.shape[0])
         levels = [(d_lo, d_hi)]
         while count > max(_HOST_CUT, 1):
@@ -154,6 +156,8 @@ def _chunked_builder(n: int, cut: int, xp):
             count //= 2
             levels.append((d_lo, d_hi))
         return tuple(levels)
+
+    ladder = aot_jit("dm.ladder", ladder_fn)
 
     def build(rows, salts):
         tops_lo, tops_hi = [], []

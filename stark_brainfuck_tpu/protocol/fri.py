@@ -94,7 +94,14 @@ def _fold_device(codeword, alpha_arr, omega: int, offset: int, xp,
             def fold(cw, alpha, seeds):
                 return shard(_fold_math(cw, alpha, inv_xs(seeds), xp))
 
-        _FOLD_CACHE[key] = jax.jit(fold)
+        if mesh is None:
+            from ..utils.aot import aot_jit
+
+            _FOLD_CACHE[key] = aot_jit(
+                f"fri.fold.n{codeword.shape[0]}.tree{int(with_tree)}", fold
+            )
+        else:
+            _FOLD_CACHE[key] = jax.jit(fold)
     seeds = xp.asarray(
         np.asarray([f.h_inverse(offset), f.h_inverse(omega)], dtype=U64)
     )

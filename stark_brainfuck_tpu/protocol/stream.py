@@ -100,12 +100,13 @@ class StreamAccumulator:
                 left[0], left[1], right[0], right[1], np
             )
         if self._jit is None:
-            import jax
+            from ..utils.aot import aot_jit
 
-            self._jit = jax.jit(
+            self._jit = aot_jit(
+                "stream.acc_combine",
                 lambda ll, lh, rl, rh: B2.merkle_parents_pair(
                     ll, lh, rl, rh, xp
-                )
+                ),
             )
         return self._jit(left[0], left[1], right[0], right[1])
 
@@ -139,9 +140,9 @@ def _ladder_levels(d, xp):
 
     if xp is np:
         return ladder(d[0], d[1])
-    import jax
+    from ..utils.aot import aot_jit
 
-    return jax.jit(ladder)(d[0], d[1])
+    return aot_jit("stream.ladder", ladder)(d[0], d[1])
 
 
 class StreamedMerkle(DeviceMerkle):
@@ -284,15 +285,36 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     )
     biota = xp.asarray((np.arange(S, dtype=np.int64) * B).astype(np.uint32))
 
-    def group_fn_body(gs, wbs_all, b0):
+    def group_fn_body(gs, wbs_all, b0, pack):
+        """b0 is a DYNAMIC scalar — one compiled executable serves all
+        B/G dispatches of the streaming pass. The NTT pack enters as a
+        runtime ARGUMENT (closure capture would embed the S-sized tables
+        as HLO literals — compile-time constant folding + bloated AOT
+        exports)."""
+        dyn = xp is not np
+
+        def slice1(arr, start):
+            if dyn:
+                import jax
+
+                return jax.lax.dynamic_slice_in_dim(arr, start, 1)
+            return arr[start : start + 1]
+
         digs = []
         for j in range(G):
-            wb = wbs_all[b0 + j : b0 + j + 1]
-            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            wb = slice1(wbs_all, b0 + j)
+            vals = block_values(gs, wb, scale_len, pack, S, xp)
             rows = vals.T
             salts = None
             if salted:
-                bidx = biota + (b0 + j)
+                # leaf indices of class b: generated IN-graph (an iota op,
+                # not an S-sized embedded literal)
+                iota = (
+                    xp.arange(S, dtype=xp.int64) * B
+                    if dyn
+                    else biota.astype(xp.int64)
+                )
+                bidx = (iota + (b0 + j)).astype(xp.uint32)
                 salts = salt_words_device(klo, khi, S, xp, indices=bidx)
             digs.append(leaf_digests(rows, salts, xp))
         while len(digs) > 1:
@@ -308,14 +330,15 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     if xp is np:
         group_fn = group_fn_body
     else:
-        import jax
+        from ..utils.aot import aot_jit
 
-        group_fn = jax.jit(group_fn_body, static_argnums=(2,))
+        group_fn = aot_jit(f"stream.commit.G{G}", group_fn_body)
 
     acc = StreamAccumulator(xp)
     glvl = (G - 1).bit_length()
     for b0 in range(0, B, G):
-        acc.add(group_fn(tuple(groups), wbs, b0), level=glvl)
+        b0_arg = b0 if xp is np else xp.asarray(b0, dtype=xp.int32)
+        acc.add(group_fn(tuple(groups), wbs, b0_arg, pack_S), level=glvl)
         if progress is not None:
             progress(b0)
     lvl, top = acc.finish()
@@ -338,11 +361,16 @@ def reopen_rows(groups, plan, xp):
     wbs_np = np.asarray([f.h_pow(omega, b) for b in range(B)], dtype=U64)
     wbs = xp.asarray(wbs_np)
 
-    def group_vals_body(gs, wbs_all, pos, b0):
+    def group_vals_body(gs, wbs_all, pos, b0, pack):
         out = []
         for j in range(G):
-            wb = wbs_all[b0 + j : b0 + j + 1]
-            vals = block_values(gs, wb, scale_len, pack_S, S, xp)
+            if xp is np:
+                wb = wbs_all[b0 + j : b0 + j + 1]
+            else:
+                import jax
+
+                wb = jax.lax.dynamic_slice_in_dim(wbs_all, b0 + j, 1)
+            vals = block_values(gs, wb, scale_len, pack, S, xp)
             if xp is np:
                 out.append(vals.T[pos])
             else:
@@ -352,9 +380,9 @@ def reopen_rows(groups, plan, xp):
     if xp is np:
         group_vals = group_vals_body
     else:
-        import jax
+        from ..utils.aot import aot_jit
 
-        group_vals = jax.jit(group_vals_body, static_argnums=(3,))
+        group_vals = aot_jit(f"stream.reopen.G{G}", group_vals_body)
 
     def rows_for_positions(positions):
         pos = (
@@ -363,7 +391,11 @@ def reopen_rows(groups, plan, xp):
         )
         pos_dev = xp.asarray(pos)
         per_group = [
-            group_vals(tuple(groups), wbs, pos_dev, b0)
+            group_vals(
+                tuple(groups), wbs, pos_dev,
+                b0 if xp is np else xp.asarray(b0, dtype=xp.int32),
+                pack_S,
+            )
             for b0 in range(0, B, G)
         ]
         if xp is np:
