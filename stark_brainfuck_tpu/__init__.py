@@ -28,6 +28,14 @@ import jax
 # u64 with 32-bit pairs on TPU.
 jax.config.update("jax_enable_x64", True)
 
+# Tracing/lowering the large-domain stages (N >= 2^22: MXU NTT plans, fused
+# Merkle builders) nests Python frames close to CPython's default 1000-frame
+# limit; the margin depends on caller depth, so a 2^16-cycle prove died in
+# RecursionError from inside bench.py while the identical trace succeeded
+# from a shallow REPL. Raise (never lower) the limit.
+if sys.getrecursionlimit() < 20000:
+    sys.setrecursionlimit(20000)
+
 # Tracing the limb-NTT kernels (hundreds of chained ops per renorm) nests
 # deeply inside jax internals; the default 1000-frame limit intermittently
 # overflows at large transform sizes.

@@ -287,24 +287,12 @@ def _twiddle_outer_call(y, plan: PallasNttPlan, interpret=False):
         a = [y_ref[s] for s in range(9)]  # (128, rc)
         lo = [lo_ref[s] for s in range(9)]
         t = _conv_planes(a, lo, jnp)
-        # the whole (small) hi table is resident; pick this slab's row.
-        # Mask-and-sum instead of a dynamic sublane slice (Mosaic needs
-        # provably tile-aligned starts for dynamic slicing).
-        if hi_rows == 1:
-            hi = [hi_ref[s] for s in range(9)]  # (1, rc)
-        else:
-            row = jax.lax.rem(pl.program_id(0), np.int32(hi_rows))
-            mask = (
-                jax.lax.broadcasted_iota(jnp.int32, (hi_rows, 1), 0) == row
-            )
-            hi = [
-                jnp.sum(
-                    jnp.where(mask, hi_ref[s].astype(jnp.int32), 0),
-                    axis=0,
-                    keepdims=True,
-                )
-                for s in range(9)
-            ]
+        # hi_ref is the (9, 1, rc) slab for THIS grid row, selected by the
+        # BlockSpec index map (block i needs hi row i % hi_rows — the 128
+        # consecutive b's of a block share one b_hi). An earlier in-kernel
+        # mask-and-sum selection sent Mosaic's convert-type legalizer into
+        # infinite recursion at hi_rows > 1 (first hit at N = 2^22).
+        hi = [hi_ref[s] for s in range(9)]  # (1, rc)
         out = _conv_planes(t, hi, jnp)
         for s in range(9):
             o_ref[s] = out[s]
@@ -319,8 +307,10 @@ def _twiddle_outer_call(y, plan: PallasNttPlan, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (9, hi_rows, rc),
-                lambda i, j: (_Z, _Z, j),
+                (9, 1, rc),
+                (lambda i, j: (_Z, i % hi_rows, j))
+                if hi_rows > 1
+                else (lambda i, j: (_Z, _Z, j)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

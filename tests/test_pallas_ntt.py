@@ -101,3 +101,41 @@ def test_ntt_pallas_interpret_inverse():
     got = np.asarray(PN.ntt_pallas(jnp.asarray(v), plan, interpret=True))
     want = nt.ntt_with(v, nt.make_pack(n, root, True, np), np)
     np.testing.assert_array_equal(got, want)
+
+
+def test_outer_twiddle_call_multi_hi_rows():
+    """_twiddle_outer_call with hi_rows > 1 (c > 128) — the path first
+    exercised at full-NTT sizes N >= 2^21, where the per-block hi-table row
+    is selected by the BlockSpec index map (an in-kernel mask/convert
+    selection previously sent Mosaic's type legalizer into infinite
+    recursion). Interpret mode; values checked against direct twiddling."""
+    import jax.numpy as jnp
+
+    n, r = 1 << 16, 1 << 8
+    c = n // r  # 256 -> hi_rows = 2
+    root = f.primitive_nth_root(n)
+    plan = PN.PallasNttPlan(
+        n, r, c, None, None,
+        jnp.asarray(PN._tw_planes(c // 128, r, root, stride=128)),
+        jnp.asarray(PN._tw_planes(128, r, root)),
+        None,
+    )
+    rows = 2 * c  # batch B=2
+    v = RNG.integers(0, f.P, size=(rows, r), dtype=np.uint64)
+    x = jnp.stack(
+        [p.astype(jnp.int8) for p in L.u64_to_limb_planes(jnp.asarray(v), jnp)],
+        axis=0,
+    )
+    out = PN._twiddle_outer_call(x, plan, interpret=True)
+    got = np.asarray(L.limbs_to_u64(
+        [np.asarray(out[s], dtype=np.int32) for s in range(9)], np
+    ))
+    # row g multiplies by root^((g % c) * c_idx)
+    b = np.arange(rows)[:, None] % c
+    ci = np.arange(r)[None, :]
+    tw = np.asarray(
+        [[f.h_pow(root, int(bb) * int(cc)) for cc in ci[0]] for bb in b[:, 0]],
+        dtype=np.uint64,
+    )
+    want = f.mul(v, tw, np)
+    np.testing.assert_array_equal(got, want)
