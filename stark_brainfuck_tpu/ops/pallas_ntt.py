@@ -56,7 +56,8 @@ class PallasNttPlan(NamedTuple):
     c: int
     sub_r: SubPlan
     sub_c: Optional[SubPlan]
-    tw_hi: object  # (9, c//128, r) int8
+    tw_hi: object  # (c//128, 9, r) int8 — hi-row-major so the
+    #     per-block row is selectable by a leading-dim BlockSpec index
     tw_lo: object  # (9, 128, r) int8
     n_inv: Optional[int]
 
@@ -117,7 +118,11 @@ def make_pallas_plan(
     assert c <= SUB_MAX and c % 128 == 0, (n, r, c)
     sub_r = _make_sub_plan(r, f.h_pow(w, c), xp)
     sub_c = _make_sub_plan(c, f.h_pow(w, r), xp)
-    tw_hi = xp.asarray(_tw_planes(c // 128, r, w, stride=128))
+    # (9, c//128, r) -> (c//128, 9, r): Mosaic requires the last two
+    # block dims be 8/128-aligned or full, so the selected axis leads
+    tw_hi = xp.asarray(
+        np.swapaxes(_tw_planes(c // 128, r, w, stride=128), 0, 1)
+    )
     tw_lo = xp.asarray(_tw_planes(128, r, w))
     return PallasNttPlan(n, r, c, sub_r, sub_c, tw_hi, tw_lo, n_inv)
 
@@ -287,12 +292,13 @@ def _twiddle_outer_call(y, plan: PallasNttPlan, interpret=False):
         a = [y_ref[s] for s in range(9)]  # (128, rc)
         lo = [lo_ref[s] for s in range(9)]
         t = _conv_planes(a, lo, jnp)
-        # hi_ref is the (9, 1, rc) slab for THIS grid row, selected by the
+        # hi_ref is the (1, 9, rc) slab for THIS grid row, selected by the
         # BlockSpec index map (block i needs hi row i % hi_rows — the 128
         # consecutive b's of a block share one b_hi). An earlier in-kernel
         # mask-and-sum selection sent Mosaic's convert-type legalizer into
-        # infinite recursion at hi_rows > 1 (first hit at N = 2^22).
-        hi = [hi_ref[s] for s in range(9)]  # (1, rc)
+        # infinite recursion at hi_rows > 1 (first hit at N >= 2^21).
+        hi_full = hi_ref[...]
+        hi = [hi_full[0, s][None] for s in range(9)]  # (1, rc)
         out = _conv_planes(t, hi, jnp)
         for s in range(9):
             o_ref[s] = out[s]
@@ -307,8 +313,11 @@ def _twiddle_outer_call(y, plan: PallasNttPlan, interpret=False):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (9, 1, rc),
-                (lambda i, j: (_Z, i % hi_rows, j))
+                (1, 9, rc),
+                # NB: stay in int32 — `i % hi_rows` promotes through weak
+                # i64 under x64, and an i64 convert inside the Mosaic
+                # index-map lowering loops its type legalizer forever
+                (lambda i, j: (jax.lax.rem(i, np.int32(hi_rows)), _Z, j))
                 if hi_rows > 1
                 else (lambda i, j: (_Z, _Z, j)),
                 memory_space=pltpu.VMEM,

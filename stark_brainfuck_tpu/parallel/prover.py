@@ -79,8 +79,12 @@ def prove_core_inputs(bfs: BrainfuckStark, trace, seed: int = 0, xp=None):
     weights = xp.asarray(rng.x_elements((1 + 2 * num_terms,)))
     terminals = xp.asarray(np.asarray(terminals_h, dtype=U64))
     zinv = bfs._zerofier_inverses(xp)
+    # launder through host: the zerofier builder runs as an AOT-exported
+    # module whose outputs carry pinned single-device shardings, which
+    # conflict with the dry-run's multi-device sharding constraints
+    # (tiny dry-run/entry shapes — the copy is negligible)
     zinv_flat = tuple(
-        zinv[t.height][k]
+        xp.asarray(np.asarray(zinv[t.height][k]))
         for t in bfs.tables
         for k in ("boundary", "transition", "terminal")
     )

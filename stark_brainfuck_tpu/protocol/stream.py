@@ -285,12 +285,13 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     )
     biota = xp.asarray((np.arange(S, dtype=np.int64) * B).astype(np.uint32))
 
-    def group_fn_body(gs, wbs_all, b0, pack):
+    def group_fn_body(gs, wbs_all, b0, pack, key_lo, key_hi):
         """b0 is a DYNAMIC scalar — one compiled executable serves all
-        B/G dispatches of the streaming pass. The NTT pack enters as a
-        runtime ARGUMENT (closure capture would embed the S-sized tables
-        as HLO literals — compile-time constant folding + bloated AOT
-        exports)."""
+        B/G dispatches of the streaming pass. The NTT pack AND the salt
+        key limbs enter as runtime ARGUMENTS: closure capture would embed
+        them as constants in the (name-keyed, cross-prove shared) AOT
+        export — for the salt key that is a correctness bug, since every
+        prove draws a fresh key."""
         dyn = xp is not np
 
         def slice1(arr, start):
@@ -315,7 +316,7 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
                     else biota.astype(xp.int64)
                 )
                 bidx = (iota + (b0 + j)).astype(xp.uint32)
-                salts = salt_words_device(klo, khi, S, xp, indices=bidx)
+                salts = salt_words_device(key_lo, key_hi, S, xp, indices=bidx)
             digs.append(leaf_digests(rows, salts, xp))
         while len(digs) > 1:
             digs = [
@@ -332,13 +333,21 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     else:
         from ..utils.aot import aot_jit
 
-        group_fn = aot_jit(f"stream.commit.G{G}", group_fn_body)
+        group_fn = aot_jit(
+            f"stream.commit.G{G}.S{S}.L{scale_len}.s{int(salted)}",
+            group_fn_body,
+        )
 
+    if not salted:
+        klo = khi = xp.zeros((2,), dtype=xp.uint32)
     acc = StreamAccumulator(xp)
     glvl = (G - 1).bit_length()
     for b0 in range(0, B, G):
         b0_arg = b0 if xp is np else xp.asarray(b0, dtype=xp.int32)
-        acc.add(group_fn(tuple(groups), wbs, b0_arg, pack_S), level=glvl)
+        acc.add(
+            group_fn(tuple(groups), wbs, b0_arg, pack_S, klo, khi),
+            level=glvl,
+        )
         if progress is not None:
             progress(b0)
     lvl, top = acc.finish()
@@ -382,7 +391,9 @@ def reopen_rows(groups, plan, xp):
     else:
         from ..utils.aot import aot_jit
 
-        group_vals = aot_jit(f"stream.reopen.G{G}", group_vals_body)
+        group_vals = aot_jit(
+            f"stream.reopen.G{G}.S{S}.L{scale_len}", group_vals_body
+        )
 
     def rows_for_positions(positions):
         pos = (

@@ -229,16 +229,21 @@ class _AotFn:
             return runner
 
 
-_AOT_FNS: Dict[Tuple[str, int], _AotFn] = {}
+_AOT_FNS: Dict[str, _AotFn] = {}
 
 
 def aot_jit(name: str, fn) -> _AotFn:
-    """Drop-in for jax.jit(fn) with disk-backed AOT export caching. `name`
-    must uniquely identify the computation up to input signature (fold any
-    partial-bound static values into it)."""
-    key = (name, id(fn))
-    got = _AOT_FNS.get(key)
+    """Drop-in for jax.jit(fn) with disk-backed AOT export caching.
+
+    The registry is keyed by NAME ALONE: `name` (+ the input signature)
+    must uniquely identify the computation — fold any static values the
+    function closes over into it, and never close over value-bearing
+    arrays (they would be frozen into the export as constants). Keying by
+    name lets callers that re-create closures per invocation (streamed
+    commit/reopen build their bodies per prove) reuse the already-loaded
+    compiled runner instead of re-loading the executable every call."""
+    got = _AOT_FNS.get(name)
     if got is None:
         got = _AotFn(name, fn)
-        _AOT_FNS[key] = got
+        _AOT_FNS[name] = got
     return got

@@ -116,7 +116,9 @@ def test_outer_twiddle_call_multi_hi_rows():
     root = f.primitive_nth_root(n)
     plan = PN.PallasNttPlan(
         n, r, c, None, None,
-        jnp.asarray(PN._tw_planes(c // 128, r, root, stride=128)),
+        jnp.asarray(
+            np.swapaxes(PN._tw_planes(c // 128, r, root, stride=128), 0, 1)
+        ),
         jnp.asarray(PN._tw_planes(128, r, root)),
         None,
     )
