@@ -198,6 +198,35 @@ def salt_words_device(key_lo, key_hi, n: int, xp, indices=None):
     )
 
 
+def prf_field_words(key_lo, key_hi, count: int, xp):
+    """`count` uniform field elements from the BLAKE2b counter PRF,
+    computed where the consumer lives (device for the jax backend, host
+    for numpy) with bit-identical values: element 8i+j = digest-word j of
+    blake2b(key16 ‖ LE64(i)) taken mod p (relative bias ~2^-32 — blinding
+    randomness, not transcript challenges). Replaces host-side bulk
+    drawing + upload of the degree-(max_degree) randomizer polynomial —
+    400 MB of host shake+transfer at 2^20-cycle scale, 16 key bytes
+    now."""
+    n_digests = (count + 7) // 8
+    ctr = xp.arange(n_digests, dtype=xp.uint32)
+    zero = xp.zeros((n_digests,), dtype=xp.uint32)
+
+    def col(v):
+        return xp.broadcast_to(v, (n_digests,)).astype(xp.uint32)
+
+    cols_lo = [col(key_lo[0]), col(key_lo[1]), ctr] + [zero] * 13
+    cols_hi = [col(key_hi[0]), col(key_hi[1]), zero] + [zero] * 13
+    d_lo, d_hi = B.blake2b_words(
+        xp.stack(cols_lo, axis=-1), xp.stack(cols_hi, axis=-1), 24, xp
+    )
+    words = d_lo.astype(xp.uint64) | (
+        d_hi.astype(xp.uint64) << xp.uint64(32)
+    )
+    from ..ops.field import P
+
+    return words.reshape(-1)[:count] % xp.uint64(P)
+
+
 def salt_key_limbs(seed_bytes: bytes):
     """16-byte salt key -> ((2,) lo, (2,) hi) uint32 limb arrays (host)."""
     assert len(seed_bytes) >= 16, "salt PRF needs a 16-byte key"

@@ -1370,8 +1370,26 @@ class BrainfuckStark:
         mats = tuple(xp.asarray(t.matrix) for t in self.tables)
 
         # 2-3. randomizer polynomial + base LDE (ref :164-176), one fused
-        # device stage
-        randomizer_coeffs = xp.asarray(rng.x_elements((self.max_degree + 1,), chunk=9))
+        # device stage. The degree-max_degree randomizer is drawn by the
+        # BLAKE2b counter PRF where it is consumed (device PRF for jax,
+        # host for numpy — bit-identical), so only 16 key bytes cross the
+        # host boundary instead of a (max_degree+1, 3) u64 bulk draw
+        # (~400 MB of host generation + upload at 2^20-cycle scale).
+        from .device_merkle import prf_field_words
+
+        rand_count = (self.max_degree + 1) * 3
+        rp_lo, rp_hi = salt_key_limbs(rng.bytes(16))
+        if use_jit:
+            randomizer_coeffs = staged(
+                "randpoly",
+                lambda kl, kh: prf_field_words(
+                    kl, kh, rand_count, xp
+                ).reshape(self.max_degree + 1, 3),
+            )(xp.asarray(rp_lo), xp.asarray(rp_hi))
+        else:
+            randomizer_coeffs = prf_field_words(
+                rp_lo, rp_hi, rand_count, np
+            ).reshape(self.max_degree + 1, 3)
         base_rands = tuple(
             xp.asarray(rng.base_elements((t.base_width, t.num_randomizers)))
             if t.num_randomizers > 0 and t.height > 0
