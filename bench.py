@@ -88,6 +88,10 @@ def main():
         cfg_kwargs["stream_min"] = int(os.environ["BENCH_STREAM_MIN"])
     if os.environ.get("BENCH_STREAM_CLASSES"):
         cfg_kwargs["stream_classes"] = int(os.environ["BENCH_STREAM_CLASSES"])
+    if os.environ.get("BENCH_CHECKPOINT_DIR"):
+        # stage-level commit resume for long streamed runs: a killed
+        # warmup/prove resumes past completed commitment passes
+        cfg_kwargs["checkpoint_dir"] = os.environ["BENCH_CHECKPOINT_DIR"]
 
     def build():
         return BrainfuckStark(
@@ -137,6 +141,10 @@ def main():
             "simulate_s": round(t_sim, 3),
             "proof_bytes": len(proof),
             "platform": os.environ.get("JAX_PLATFORMS", "default"),
+            "backend": jax.default_backend(),
+            "ntt_path": bfs.last_metrics.get("ntt_path"),
+            "hash_path": bfs.last_metrics.get("hash_path"),
+            "fri_round_s": bfs.last_metrics.get("fri_round_s"),
             "ntt_butterflies_per_s": bfs.last_metrics.get(
                 "ntt_butterflies_per_s"
             ),

@@ -36,12 +36,6 @@ jax.config.update("jax_enable_x64", True)
 if sys.getrecursionlimit() < 20000:
     sys.setrecursionlimit(20000)
 
-# Tracing the limb-NTT kernels (hundreds of chained ops per renorm) nests
-# deeply inside jax internals; the default 1000-frame limit intermittently
-# overflows at large transform sizes.
-if sys.getrecursionlimit() < 20000:
-    sys.setrecursionlimit(20000)
-
 from .config import StarkConfig  # noqa: E402
 from .vm.machine import VirtualMachine  # noqa: E402
 from .protocol.stark import BrainfuckStark  # noqa: E402

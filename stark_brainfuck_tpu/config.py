@@ -45,6 +45,17 @@ class StarkConfig:
     # paths produce byte-identical trees.
     device_commit_min: int = 4096
 
+    # FRI rounds whose codeword is shorter than this finish on the HOST
+    # even when the prove is device-resident: every device round must fetch
+    # its Merkle root before the next Fiat-Shamir challenge — one
+    # host-blocking dispatch round trip (~25 ms through the remote-tunnel
+    # backend, measured) — while a short host round (vectorized numpy fold
+    # + native-C++ tree) is single-digit ms. The switch itself pays one
+    # codeword download (~20 MB/s through the tunnel), so the optimum
+    # balances saved round trips against transfer bytes: measured best at
+    # ~2^14 (BENCH fri_round_s r05 sweep). Clamped up to device_commit_min.
+    fri_host_min: int = 1 << 14
+
     # streamed (strided-block) commitments: FRI domains >= stream_min never
     # materialize full base/ext codewords — coefficients are evaluated and
     # committed in `stream_classes` strided blocks (protocol/stream.py) and

@@ -16,7 +16,7 @@ to the host path's.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -192,6 +192,7 @@ class Fri:
         num_colinearity_tests: int,
         codec=None,
         device_commit_min: int = 4096,
+        host_min: Optional[int] = None,
     ):
         from .channel import NativeCodec
 
@@ -200,6 +201,11 @@ class Fri:
         self.num_colinearity_tests = num_colinearity_tests
         self.codec = codec if codec is not None else NativeCodec()
         self.device_commit_min = device_commit_min
+        # rounds shorter than this run on the host even mid-device-prove:
+        # a device round is bounded below by one blocking root fetch
+        # (dispatch round-trip latency), a short host round by a few ms of
+        # numpy fold + native tree (config.fri_host_min rationale)
+        self.host_min = max(device_commit_min, host_min or 0)
         self.mesh = None  # set by the STARK orchestrator under mesh_shape
         assert self.num_rounds() >= 1, "FRI needs at least one round"
 
@@ -243,7 +249,7 @@ class Fri:
         pending_tree = None  # device tree built by the previous fused fold
         for r in range(self.num_rounds()):
             N = int(codeword.shape[0])
-            if on_device and N < self.device_commit_min:
+            if on_device and N < self.host_min:
                 # tail rounds are tiny — finish on host
                 codeword = np.asarray(codeword, dtype=U64)
                 on_device = False
@@ -301,7 +307,7 @@ class Fri:
                 # build the NEXT round's tree inside the same dispatch when
                 # it will still live on the device
                 build_next = (
-                    half >= self.device_commit_min and half > _HOST_CUT
+                    half >= self.host_min and half > _HOST_CUT
                 )
                 if build_next:
                     codeword, levels = _fold_device(

@@ -137,6 +137,7 @@ class BrainfuckStark:
             cfg.num_colinearity_checks,
             codec=self.codec,
             device_commit_min=cfg.device_commit_min,
+            host_min=getattr(cfg, "fri_host_min", None),
         )
 
     # ------------------------------------------------------------------
@@ -314,11 +315,14 @@ class BrainfuckStark:
         fri = self.fri
         N = fri.domain.length
         cfg = self.config
-        use_mxu = cfg.ntt_backend == "mxu" or (
-            cfg.ntt_backend == "auto"
-            and xp is not np
-            and cfg.mxu_ntt_min <= N <= MXU_NTT_MAX
-            and _mxu_available()
+        # "auto" resolves to the u64 butterfly network: measured on the
+        # v5e (ROOFLINE_r05 + prove-shaped sweeps, 64 rows x 2^20 / 32 x
+        # 2^21), the int8-limb MXU path is 1.2-4.6x SLOWER than the u64
+        # path at every prove shape (limb-unpack overhead dominates; it
+        # falls off hard at N >= 2^21 where the Mosaic outer-twiddle
+        # workaround kicks in). ntt_backend="mxu" still forces it.
+        use_mxu = cfg.ntt_backend == "mxu" and (
+            xp is not np and N <= MXU_NTT_MAX and _mxu_available()
         )
         # key includes the resolved NTT decision: changing ntt_backend /
         # mxu_ntt_min between prove() calls must not reuse stale packs
@@ -345,6 +349,15 @@ class BrainfuckStark:
             )
             if R % D == 0 and C % D == 0:
                 dntt_tables = (R, C, pack_r, pack_c, T)
+        # resolved-path provenance: recorded in last_metrics so every bench
+        # artifact shows which NTT kernel actually ran (round-4 verdict:
+        # nothing proved the MXU path engaged on the axon platform)
+        self._resolved_ntt_path = (
+            "u64-numpy" if xp is np
+            else "mxu-pallas-int8" if use_mxu
+            else "dntt-mesh" if dntt_tables is not None
+            else "u64-jnp"
+        )
         packs = {
             "fwd_mxu": fwd_mxu,
             "dntt": dntt_tables,
@@ -1209,9 +1222,17 @@ class BrainfuckStark:
     def _combination_pipeline(
         self, staged, rand_cw, base_cws, ext_cws, challenges_arr,
         terminals_arr, weights_h, shifts_np, offset_pows_np, zinv_flat, xp,
+        tree_cut=None,
     ):
         """Host-orchestrated combination: jitted pieces with explicit
-        boundaries (see the note above _acc_group)."""
+        boundaries (see the note above _acc_group).
+
+        With `tree_cut` set (device path), the FINAL accumulation stage
+        also builds the combination codeword's Merkle digest levels in the
+        SAME dispatch (fold+tree fusion, as the FRI rounds already do —
+        fri.py _fold_device) and the return is (acc, levels) instead of
+        acc: one executable instead of two, no acc hand-off between the
+        last combination dispatch and a separate tree build."""
         N = self.fri.domain.length
         ratios_np = np.asarray(
             [f.h_pow(self.fri.domain.omega, int(s)) for s in shifts_np],
@@ -1285,15 +1306,27 @@ class BrainfuckStark:
                 axis=0,
             ),
         )(ext_cws[0], ext_cws[1], ext_cws[2], zinv_flat[0])
-        acc = staged(
-            "comb_acc_q2",
-            lambda a, s, wp, rt, op: self._acc_group(
-                a, s, wp, rt, op, xp
-            ),
-        )(acc, pa_stack, *group_args(pos, 2))
+        if tree_cut is None:
+            acc = staged(
+                "comb_acc_q2",
+                lambda a, s, wp, rt, op: self._acc_group(
+                    a, s, wp, rt, op, xp
+                ),
+            )(acc, pa_stack, *group_args(pos, 2))
+            out = acc
+        else:
+            from .device_merkle import build_levels
+
+            def final_with_tree(a, s, wp, rt, op):
+                acc2 = self._acc_group(a, s, wp, rt, op, xp)
+                return acc2, build_levels(acc2, None, xp, tree_cut)
+
+            out = staged(f"comb_acc_q2_tree.c{tree_cut}", final_with_tree)(
+                acc, pa_stack, *group_args(pos, 2)
+            )
         pos += 2
         assert pos == shifts_np.shape[0], "term/shift bookkeeping mismatch"
-        return acc
+        return out
 
     # ------------------------------------------------------------------
     # prover
@@ -1682,6 +1715,7 @@ class BrainfuckStark:
                 for t in self.tables
                 for k in ("boundary", "transition", "terminal")
             )
+        comb_cut = None
         if use_stream:
             acc = self._stream_combination(
                 staged, base_groups, ext_groups, challenges_arr,
@@ -1689,6 +1723,12 @@ class BrainfuckStark:
                 splan, xp,
             )
         else:
+            from .device_merkle import _HOST_CUT as _hc
+            from .device_merkle import default_cut as _dc
+
+            comb_cut = (
+                _dc(N) if (device_like and N > _hc) else None
+            )
             acc = self._combination_pipeline(
                 staged,
                 randomizer_codeword,
@@ -1701,13 +1741,24 @@ class BrainfuckStark:
                 offset_pows_np,
                 zinv_flat,
                 xp,
+                tree_cut=comb_cut,
             )
         # 13. commit to the combination codeword (ref :301-302)
         comb_leaf_cache: Dict[int, tuple] = {}
         if device_like:
-            combination = acc  # stays device-resident; FRI folds it there
-            _mark("stage_c (quotients+combination)", sync=acc)
-            combination_tree = DeviceMerkle(acc, xp)
+            if not use_stream and comb_cut is not None:
+                # tree digest levels came fused out of the final
+                # combination dispatch
+                acc, comb_levels = acc
+                combination = acc
+                _mark("stage_c (quotients+combination)", sync=acc)
+                combination_tree = DeviceMerkle(
+                    acc, xp, levels=comb_levels, cut=comb_cut
+                )
+            else:
+                combination = acc
+                _mark("stage_c (quotients+combination)", sync=acc)
+                combination_tree = DeviceMerkle(acc, xp)
             comb_row = combination_tree.row_at
             _mark("combination merkle (device)", sync=combination_tree.levels)
         else:
@@ -1845,6 +1896,12 @@ class BrainfuckStark:
                 round(extend_rows / extend_s) if extend_s > 0 else None
             ),
             fri_round_s=getattr(self.fri, "last_round_s", None),
+            ntt_path=getattr(self, "_resolved_ntt_path", None),
+            hash_path=(
+                "numpy" if not device_like
+                else "pallas-fused" if _mxu_available()
+                else "u64-jnp"
+            ),
         )
         return proof
 

@@ -333,8 +333,10 @@ def streamed_commit(groups, salt_key: Optional[bytes], plan, xp,
     else:
         from ..utils.aot import aot_jit
 
+        # B is baked into the closure (salt leaf indices iota·B), so it
+        # must be part of the name-keyed registry/export key
         group_fn = aot_jit(
-            f"stream.commit.G{G}.S{S}.L{scale_len}.s{int(salted)}",
+            f"stream.commit.G{G}.B{B}.S{S}.L{scale_len}.s{int(salted)}",
             group_fn_body,
         )
 
@@ -392,7 +394,7 @@ def reopen_rows(groups, plan, xp):
         from ..utils.aot import aot_jit
 
         group_vals = aot_jit(
-            f"stream.reopen.G{G}.S{S}.L{scale_len}", group_vals_body
+            f"stream.reopen.G{G}.B{B}.S{S}.L{scale_len}", group_vals_body
         )
 
     def rows_for_positions(positions):

@@ -23,14 +23,18 @@ Cache location: $STARK_AOT_CACHE or <repo>/.jax_cache/aot.
 
 from __future__ import annotations
 
+import ast
 import hashlib
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 _CODE_HASH: Optional[str] = None
 _DIR: Optional[str] = None
 _DISABLED: Optional[bool] = None
 _REGISTERED = False
+_FILE_HASHES: Optional[Dict[str, str]] = None
+_DEP_GRAPH: Optional[Dict[str, Set[str]]] = None
+_MODULE_HASHES: Dict[str, str] = {}
 
 
 def _register_serializations():
@@ -85,25 +89,137 @@ def _cache_dir() -> str:
     return _DIR
 
 
-def _code_hash() -> str:
-    """Content hash of every package source file — exports are invalidated
-    by ANY package edit (coarse but safe)."""
+def _pkg_dir() -> str:
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def package_code_hash() -> str:
+    """Content hash of every package source file. Used where ANY package
+    edit must invalidate (stage-level prove checkpoints, whose validity
+    cannot be scoped to a module subset safely)."""
     global _CODE_HASH
     if _CODE_HASH is None:
-        pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
-        for root, _dirs, files in sorted(os.walk(pkg)):
-            for fname in sorted(files):
-                if fname.endswith(".py"):
-                    p = os.path.join(root, fname)
-                    h.update(p.encode())
-                    with open(p, "rb") as fh:
-                        h.update(fh.read())
+        for rel in sorted(_file_hashes()):
+            h.update(rel.encode())
+            h.update(_file_hashes()[rel].encode())
         import jax
 
         h.update(jax.__version__.encode())
         _CODE_HASH = h.hexdigest()[:16]
     return _CODE_HASH
+
+
+def _file_hashes() -> Dict[str, str]:
+    """{relative .py path: sha256 of contents} over the package tree."""
+    global _FILE_HASHES
+    if _FILE_HASHES is None:
+        pkg = _pkg_dir()
+        out: Dict[str, str] = {}
+        for root, _dirs, files in sorted(os.walk(pkg)):
+            for fname in sorted(files):
+                if fname.endswith(".py"):
+                    p = os.path.join(root, fname)
+                    with open(p, "rb") as fh:
+                        out[os.path.relpath(p, pkg)] = hashlib.sha256(
+                            fh.read()
+                        ).hexdigest()
+        _FILE_HASHES = out
+    return _FILE_HASHES
+
+
+def _module_deps(rel: str) -> Set[str]:
+    """Package-internal import targets of module `rel` (relative .py path),
+    resolved from EVERY Import/ImportFrom in the file (including imports
+    nested inside functions). Unresolvable names resolve to their package
+    __init__.py — coarse but safe."""
+    pkg = _pkg_dir()
+    pkg_name = os.path.basename(pkg)
+    files = _file_hashes()
+
+    def exists(parts: List[str]) -> Optional[str]:
+        cand = os.path.join(*parts) + ".py" if parts else None
+        if cand and cand in files:
+            return cand
+        cand = os.path.join(*(parts + ["__init__.py"])) if parts else "__init__.py"
+        return cand if cand in files else None
+
+    try:
+        with open(os.path.join(pkg, rel), "rb") as fh:
+            tree = ast.parse(fh.read())
+    except SyntaxError:
+        return set(files)  # unparseable: depend on everything
+    # this module's package parts, e.g. protocol/stark.py -> ["protocol"]
+    mod_pkg = rel.replace(os.sep, "/").split("/")[:-1]
+    deps: Set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for alias in node.names:
+                parts = alias.name.split(".")
+                if parts[0] == pkg_name:
+                    got = exists(parts[1:])
+                    if got:
+                        deps.add(got)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level == 0:
+                parts = (node.module or "").split(".")
+                if parts and parts[0] == pkg_name:
+                    base = parts[1:]
+                else:
+                    continue
+            else:
+                base = mod_pkg[: len(mod_pkg) - (node.level - 1)]
+                if node.module:
+                    base = base + node.module.split(".")
+            got = exists(base)
+            if got:
+                deps.add(got)
+            for alias in node.names:
+                got = exists(base + [alias.name])
+                if got:
+                    deps.add(got)
+    return deps
+
+
+def _dep_graph() -> Dict[str, Set[str]]:
+    global _DEP_GRAPH
+    if _DEP_GRAPH is None:
+        _DEP_GRAPH = {rel: _module_deps(rel) for rel in _file_hashes()}
+    return _DEP_GRAPH
+
+
+def _module_code_hash(filename: str) -> str:
+    """Per-module code hash: the module's source content plus that of its
+    TRANSITIVE package-internal imports (+ jax version). AOT exports keyed
+    by this survive edits to unrelated modules — editing fri.py no longer
+    invalidates the LDE stage exports (round-4 verdict item 8). Functions
+    defined outside the package fall back to the whole-package hash."""
+    pkg = _pkg_dir()
+    try:
+        rel = os.path.relpath(os.path.abspath(filename), pkg)
+    except ValueError:
+        return package_code_hash()
+    if rel.startswith("..") or rel not in _file_hashes():
+        return package_code_hash()
+    if rel not in _MODULE_HASHES:
+        graph = _dep_graph()
+        seen = {rel}
+        frontier = [rel]
+        while frontier:
+            cur = frontier.pop()
+            for dep in graph.get(cur, ()):
+                if dep not in seen:
+                    seen.add(dep)
+                    frontier.append(dep)
+        h = hashlib.sha256()
+        for r in sorted(seen):
+            h.update(r.encode())
+            h.update(_file_hashes()[r].encode())
+        import jax
+
+        h.update(jax.__version__.encode())
+        _MODULE_HASHES[rel] = h.hexdigest()[:16]
+    return _MODULE_HASHES[rel]
 
 
 def _signature(args) -> str:
@@ -119,9 +235,22 @@ def _signature(args) -> str:
     return "|".join(parts)
 
 
-def _key(name: str, sig: str, platform: str) -> str:
+def _fn_code_hash(fn) -> str:
+    """Code hash scoped to the module defining `fn` (see
+    _module_code_hash)."""
+    import functools
+
+    while isinstance(fn, functools.partial):
+        fn = fn.func
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return package_code_hash()
+    return _module_code_hash(code.co_filename)
+
+
+def _key(name: str, sig: str, platform: str, code_hash: str) -> str:
     return hashlib.sha256(
-        f"{name}\x00{_code_hash()}\x00{platform}\x00{sig}".encode()
+        f"{name}\x00{code_hash}\x00{platform}\x00{sig}".encode()
     ).hexdigest()[:32]
 
 
@@ -171,7 +300,10 @@ class _AotFn:
 
         debug = os.environ.get("STARK_AOT_DEBUG")
         platform = jax.default_backend()
-        path = os.path.join(_cache_dir(), _key(self.name, sig, platform))
+        path = os.path.join(
+            _cache_dir(),
+            _key(self.name, sig, platform, _fn_code_hash(self.fn)),
+        )
         if os.path.exists(path):
             try:
                 _register_serializations()
@@ -186,6 +318,8 @@ class _AotFn:
                     )
                 return runner
             except Exception as e:
+                _warn_once(f"AOT cache load failed for stage "
+                           f"'{self.name}' ({e!r}); re-exporting")
                 if debug:
                     print(
                         f"[aot] load FAILED {self.name}: {e!r}",
@@ -219,6 +353,10 @@ class _AotFn:
                 )
             return jax.jit(exported.call)
         except Exception as e:
+            # a systematic export failure silently disables the warmup
+            # optimization — surface it once per stage (ADVICE r4)
+            _warn_once(f"AOT export failed for stage '{self.name}' "
+                       f"({e!r}); falling back to plain jit")
             if debug:
                 print(
                     f"[aot] export FAILED {self.name}: {e!r}",
@@ -227,6 +365,19 @@ class _AotFn:
             # export unsupported for this function — plain jit from now on
             runner = self._jit()
             return runner
+
+
+_WARNED: Set[str] = set()
+
+
+def _warn_once(msg: str):
+    key = msg.split("(")[0]
+    if key in _WARNED:
+        return
+    _WARNED.add(key)
+    import warnings
+
+    warnings.warn(msg, RuntimeWarning, stacklevel=3)
 
 
 _AOT_FNS: Dict[str, _AotFn] = {}

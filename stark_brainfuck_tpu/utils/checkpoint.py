@@ -88,20 +88,40 @@ def proof_key(program, input_data: str, output_data: str, config) -> str:
 
 def save_commit_stage(directory: str, key: str, tag: str, lo, hi) -> str:
     """Persist a streamed commitment's class-level digest arrays
-    ((S, 8) uint32 lo/hi limb planes) for stage `tag` of claim `key`."""
+    ((S, 8) uint32 lo/hi limb planes) for stage `tag` of claim `key`.
+    The package code hash is stored alongside: a checkpoint written by a
+    different code version must not resume (an edit to leaf derivation
+    would make the loaded tree inconsistent with the re-derived rows and
+    the whole prove would only fail at verify time)."""
+    from .aot import package_code_hash
+
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"commit_{key}_{tag}.npz")
     tmp = os.path.join(directory, f".tmp{os.getpid()}_{tag}.npz")
-    np.savez(tmp, lo=np.asarray(lo), hi=np.asarray(hi))
+    np.savez(
+        tmp, lo=np.asarray(lo), hi=np.asarray(hi),
+        code=np.frombuffer(package_code_hash().encode(), dtype=np.uint8),
+    )
     os.replace(tmp, path)
     return path
 
 
 def load_commit_stage(directory: str, key: str, tag: str):
+    from .aot import package_code_hash
+
     path = os.path.join(directory, f"commit_{key}_{tag}.npz")
     if not os.path.exists(path):
         return None
     data = np.load(path)
+    code = (
+        data["code"].tobytes().decode() if "code" in data.files else None
+    )
+    if code != package_code_hash():
+        try:
+            os.remove(path)  # stale version — never resume from it
+        except OSError:
+            pass
+        return None
     return data["lo"], data["hi"]
 
 

@@ -20,6 +20,12 @@ from stark_brainfuck_tpu.parallel.mesh import make_mesh
 
 RNG = np.random.default_rng(41)
 
+# Every test here jit-compiles shard_map programs on the virtual CPU mesh —
+# seconds of math under minutes of XLA compile. They are correctness gates,
+# not quick checks: the whole module is `slow` tier (round-4 verdict item 7;
+# the fast tier must stay under a few minutes cold).
+pytestmark = pytest.mark.slow
+
 needs_devices = pytest.mark.skipif(
     len(jax.devices()) < 8, reason="needs 8 virtual devices"
 )
