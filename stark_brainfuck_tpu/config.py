@@ -60,9 +60,10 @@ class StarkConfig:
     # materialize full base/ext codewords — coefficients are evaluated and
     # committed in `stream_classes` strided blocks (protocol/stream.py) and
     # re-evaluated at query time. Transcripts are byte-identical to the
-    # resident path. 2^24 ~= the largest domain whose ~50 committed u64
-    # rows still fit one 16 GB chip.
-    stream_min: int = 1 << 24
+    # resident path. Measured on the 16 GB v5e: the resident path's PEAK
+    # (committed codewords + zipped leaf rows + quotient-chunk transients)
+    # exhausts HBM at N = 2^22 (r05 ladder), so 2^22 streams.
+    stream_min: int = 1 << 22
     # number of strided classes B (block size = N/B); must divide every
     # table's unit distance N/height — validated (and shrunk) at prove time
     stream_classes: int = 32

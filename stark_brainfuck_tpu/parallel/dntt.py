@@ -40,7 +40,10 @@ def _factor(n: int):
 
 def make_dntt_tables(n: int, root: int, xp):
     """Host-precomputed tables: row/column NTT packs + the (R, C) twiddle
-    matrix T[k1, c] = root^(c·k1)."""
+    matrix T[k1, c] = root^(c·k1). The factors R, C are NOT returned as
+    ints — the tuple is passed through jit as a runtime-arg pytree, where
+    int leaves would become traced scalars and break the shape/bool logic
+    downstream; callers read them from T.shape (static under trace)."""
     R, C = _factor(n)
     root_r = f.h_pow(root, C)  # primitive R-th root
     root_c = f.h_pow(root, R)  # primitive C-th root
@@ -51,7 +54,7 @@ def make_dntt_tables(n: int, root: int, xp):
     k1 = np.arange(R, dtype=np.int64)[:, None]
     c = np.arange(C, dtype=np.int64)[None, :]
     T = pw[(k1 * c) % n]
-    return R, C, pack_r, pack_c, xp.asarray(T)
+    return pack_r, pack_c, xp.asarray(T)
 
 
 def distributed_ntt_with(values, tables, mesh, axis: str = "shard"):
@@ -66,7 +69,8 @@ def distributed_ntt_with(values, tables, mesh, axis: str = "shard"):
 
     B, N = values.shape
     D = mesh.devices.size
-    R, C, pack_r, pack_c, T = tables
+    pack_r, pack_c, T = tables
+    R, C = int(T.shape[0]), int(T.shape[1])
     assert C % D == 0 and R % D == 0, (
         f"mesh size {D} must divide both NTT factors {R}x{C}"
     )

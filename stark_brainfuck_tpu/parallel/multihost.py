@@ -65,6 +65,113 @@ def init_from_env() -> bool:
     return True
 
 
+def to_host(tree):
+    """Host numpy value(s) of device arrays, valid across processes.
+
+    Single-process: plain device_get. Multi-process: a global array may
+    have non-addressable shards, so each such leaf is first resharded to
+    fully-replicated via a jitted identity with replicated out_shardings
+    (a collective every process executes — host logic is SPMD-identical
+    on all processes, so the calls line up), then read locally. This is
+    the one primitive the full multi-process prove() needs at its
+    host-fetch points (Merkle tops, opening prefetch, FRI host tail,
+    terminals)."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_unflatten(treedef, jax.device_get(leaves))
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    out = []
+    for a in leaves:
+        if not hasattr(a, "sharding") or a.is_fully_addressable:
+            out.append(np.asarray(a))
+            continue
+        rep = jax.jit(
+            lambda t: t,
+            out_shardings=NamedSharding(
+                a.sharding.mesh, PartitionSpec()
+            ),
+        )(a)
+        out.append(np.asarray(rep.addressable_data(0)))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+class GlobalXp:
+    """jax.numpy-compatible namespace whose EAGER array-creation ops
+    produce fully-replicated global arrays over a (possibly
+    multi-process) mesh.
+
+    The prover threads `xp` through every stage, tree and codec, so
+    passing `GlobalXp(mesh)` as prove(..., xp=...) turns every host→device
+    upload (trace matrices, challenges, Fiat-Shamir weights, NTT packs,
+    FRI fold seeds) into a replicated global array — the form
+    multi-controller jit requires for inputs — with no per-site changes.
+    Under an active trace the creations delegate to plain jnp (they are
+    graph constants there, not uploads); everything else delegates to
+    jax.numpy via __getattr__."""
+
+    def __init__(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        self.mesh = mesh
+        self._sharding = NamedSharding(mesh, PartitionSpec())
+
+    def __getattr__(self, name):
+        import jax.numpy as jnp
+
+        return getattr(jnp, name)
+
+    def _tracing(self) -> bool:
+        try:
+            from jax._src import core as _core
+
+            return not _core.trace_state_clean()
+        except Exception:
+            return False
+
+    def _put(self, host):
+        import jax
+
+        return jax.device_put(host, self._sharding)
+
+    def asarray(self, x, dtype=None):
+        import jax
+        import jax.numpy as jnp
+        from jax._src import core as _core
+
+        if (
+            isinstance(x, jax.Array)
+            or isinstance(x, _core.Tracer)
+            or self._tracing()
+        ):
+            return jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
+        return self._put(np.asarray(x) if dtype is None
+                         else np.asarray(x, dtype))
+
+    def zeros(self, shape, dtype=None):
+        import jax.numpy as jnp
+
+        if self._tracing():
+            return jnp.zeros(shape, dtype)
+        return self._put(np.zeros(shape, dtype))
+
+    def ones(self, shape, dtype=None):
+        import jax.numpy as jnp
+
+        if self._tracing():
+            return jnp.ones(shape, dtype)
+        return self._put(np.ones(shape, dtype))
+
+    def arange(self, *args, **kwargs):
+        import jax.numpy as jnp
+
+        if self._tracing():
+            return jnp.arange(*args, **kwargs)
+        return self._put(np.arange(*args, **kwargs))
+
+
 def replicate_tree(tree, mesh):
     """device_put every array leaf as a fully-replicated global array over
     `mesh` (which may span processes). Each process must hold the SAME
@@ -133,14 +240,55 @@ def run_core_global(seed: int = 0, src: str = "++++") -> np.ndarray:
     return fetch_global(acc)
 
 
+def run_full_prove_global(seed: int = 0, src: str = "++++") -> bytes:
+    """The COMPLETE prove() — commitments, Fiat-Shamir transcript, FRI,
+    openings, serialization — with every codeword-scale array sharded over
+    a mesh of ALL global devices. Every process executes the identical
+    host logic (seeded rng → identical transcripts) and returns the same
+    proof bytes; device work is partitioned by XLA across the process
+    group. `device_commit_min` is lowered so the tiny test trace still
+    exercises the device commitment path the big proves use."""
+    import jax
+    import jax.numpy as jnp  # noqa: F401  (backend init before mesh)
+
+    from ..config import StarkConfig
+    from ..protocol.stark import BrainfuckStark
+    from ..vm.machine import VirtualMachine
+    from .mesh import make_mesh
+
+    program = VirtualMachine.compile(src)
+    trace = VirtualMachine.simulate(program)
+    D = jax.device_count()
+    cfg = StarkConfig(
+        seed=seed,
+        mesh_shape=(("shard", D),),
+        device_commit_min=1024,
+    )
+    bfs = BrainfuckStark(
+        trace["processor"].shape[0], trace["memory"].shape[0], program, "",
+        trace["output_data"], cfg,
+    )
+    xp = GlobalXp(make_mesh(D))
+    return bfs.prove(
+        trace["processor"], trace["memory"], trace["instruction"],
+        trace["input"], trace["output"], xp=xp,
+    )
+
+
 def _worker_main():
     """Entry for spawned dry-run workers: join the process group, run the
-    global-mesh core, print the digest of the full result."""
+    global-mesh core (or the full prove when STARK_DRYRUN_MODE=prove),
+    print the digest of the full result."""
     init_from_env()
-    acc = run_core_global(seed=int(os.environ.get("STARK_DRYRUN_SEED", "0")))
-    digest = hashlib.sha256(
-        np.ascontiguousarray(acc.astype("<u8")).tobytes()
-    ).hexdigest()
+    seed = int(os.environ.get("STARK_DRYRUN_SEED", "0"))
+    if os.environ.get("STARK_DRYRUN_MODE") == "prove":
+        proof = run_full_prove_global(seed=seed)
+        digest = hashlib.sha256(proof).hexdigest()
+    else:
+        acc = run_core_global(seed=seed)
+        digest = hashlib.sha256(
+            np.ascontiguousarray(acc.astype("<u8")).tobytes()
+        ).hexdigest()
     print(f"MULTIHOST_DIGEST {digest}", flush=True)
 
 
@@ -149,6 +297,7 @@ def spawn_dryrun(
     port: int = 0,
     timeout: int = 1800,
     seed: int = 0,
+    mode: str = "core",
 ) -> str:
     """Launch `num_processes` single-device CPU worker processes, all
     joined into ONE jax process group on localhost; every worker runs the
@@ -173,6 +322,7 @@ def spawn_dryrun(
         "STARK_COORDINATOR": f"127.0.0.1:{port}",
         "STARK_NUM_PROCESSES": str(num_processes),
         "STARK_DRYRUN_SEED": str(seed),
+        "STARK_DRYRUN_MODE": mode,
     }
     procs = []
     for pid in range(num_processes):

@@ -302,12 +302,13 @@ class DeviceMerkle:
         if self.xp is np:
             top_lo_h, top_hi_h = np.asarray(top_lo), np.asarray(top_hi)
         else:
-            # ONE batched device_get (each separate get is a full tunnel
-            # round trip; FRI builds one tree per round, so per-tree gets
-            # multiply into seconds of pure latency)
-            import jax
+            # ONE batched fetch (each separate get is a full tunnel round
+            # trip; FRI builds one tree per round, so per-tree gets
+            # multiply into seconds of pure latency); `to_host` also
+            # handles cross-process sharded arrays (multi-process prove)
+            from ..parallel.multihost import to_host
 
-            top_lo_h, top_hi_h = jax.device_get((top_lo, top_hi))
+            top_lo_h, top_hi_h = to_host((top_lo, top_hi))
         digests = B.digests_to_bytes(top_lo_h, top_hi_h)
         nodes = bytearray(2 * cut * HASH_LEN)
         nodes[cut * HASH_LEN :] = digests
@@ -470,10 +471,11 @@ class DeviceMerkle:
 
 def prefetch_trees(pairs):
     """Batched opening prefetch across several trees: stage every tree's
-    gathers, then do ONE `jax.device_get` for everything — one host
-    round-trip total instead of one per tree (through a remote-tunnel
-    backend each round-trip costs ~tens of ms)."""
-    import jax
+    gathers, then do ONE host fetch for everything — one round-trip total
+    instead of one per tree (through a remote-tunnel backend each
+    round-trip costs ~tens of ms). `to_host` handles cross-process
+    sharded arrays for the multi-process prove."""
+    from ..parallel.multihost import to_host
 
     plans = []
     all_dev: List = []
@@ -483,7 +485,7 @@ def prefetch_trees(pairs):
         all_dev += dev
     if not all_dev:
         return
-    host = jax.device_get(all_dev)
+    host = to_host(all_dev)
     pos = 0
     for tree, plan, count in plans:
         tree.prefetch_absorb(plan, host[pos : pos + count])

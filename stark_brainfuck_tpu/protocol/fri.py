@@ -250,8 +250,11 @@ class Fri:
         for r in range(self.num_rounds()):
             N = int(codeword.shape[0])
             if on_device and N < self.host_min:
-                # tail rounds are tiny — finish on host
-                codeword = np.asarray(codeword, dtype=U64)
+                # tail rounds are tiny — finish on host (to_host: one
+                # transfer; multi-process safe)
+                from ..parallel.multihost import to_host
+
+                codeword = np.asarray(to_host(codeword), dtype=U64)
                 on_device = False
                 pending_tree = None
             if r == 0 and tree0 is not None:

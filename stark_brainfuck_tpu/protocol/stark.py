@@ -344,11 +344,10 @@ class BrainfuckStark:
             from ..parallel.dntt import make_dntt_tables
 
             D = mesh.devices.size
-            R, C, pack_r, pack_c, T = make_dntt_tables(
-                N, fri.domain.omega, xp
-            )
+            pack_r, pack_c, T = make_dntt_tables(N, fri.domain.omega, xp)
+            R, C = int(T.shape[0]), int(T.shape[1])
             if R % D == 0 and C % D == 0:
-                dntt_tables = (R, C, pack_r, pack_c, T)
+                dntt_tables = (pack_r, pack_c, T)
         # resolved-path provenance: recorded in last_metrics so every bench
         # artifact shows which NTT kernel actually ran (round-4 verdict:
         # nothing proved the MXU path engaged on the axon platform)
@@ -1553,9 +1552,9 @@ class BrainfuckStark:
                 lambda m_, ch, ini: self._device_extend(m_, ch, ini, xp),
             )
             xcols_dev, terms_dev = stage_x(mats, challenges_arr, initials_arr)
-            import jax
+            from ..parallel.multihost import to_host
 
-            terms_host = jax.device_get(terms_dev)
+            terms_host = to_host(terms_dev)
             for t, cols_dev, terms in zip(self.tables, xcols_dev, terms_host):
                 terms = np.asarray(terms, dtype=U64)
                 # keep the device array: Table.xtest / debug paths call

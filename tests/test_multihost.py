@@ -31,3 +31,38 @@ def test_multiprocess_core_matches_single_process():
         "2-process x 1-device global mesh must reproduce the single-process "
         "2-device result bit-exactly"
     )
+
+
+@pytest.mark.slow
+def test_multiprocess_full_prove_bytes_match_single_process():
+    """The COMPLETE prove() — device commitments, Fiat-Shamir transcript,
+    FRI, openings, serialization — across 2 localhost processes (every
+    codeword-scale array sharded over the global 2-device mesh, every
+    host→device upload a replicated global array via GlobalXp, every
+    host fetch through to_host's replicate-then-read collective). The
+    proof BYTES must equal the plain single-process run: the transcript
+    host logic is SPMD-identical on every process (r4 verdict item 4 —
+    previously only the algebraic core had crossed processes)."""
+    from stark_brainfuck_tpu import BrainfuckStark, StarkConfig, VirtualMachine
+
+    program = VirtualMachine.compile("++++")
+    t = VirtualMachine.simulate(program)
+    bfs = BrainfuckStark(
+        t["processor"].shape[0], t["memory"].shape[0], program, "",
+        t["output_data"],
+        # device_commit_min lowered so the tiny trace exercises the device
+        # commitment path (same override run_full_prove_global applies)
+        StarkConfig(seed=0, device_commit_min=1024),
+    )
+    proof = bfs.prove(
+        t["processor"], t["memory"], t["instruction"], t["input"],
+        t["output"],
+    )
+    assert bfs.verify(proof)
+    single = hashlib.sha256(proof).hexdigest()
+
+    multi = spawn_dryrun(num_processes=2, mode="prove", seed=0)
+    assert multi == single, (
+        "2-process full prove must serialize byte-identically to the "
+        "single-process prove"
+    )
