@@ -208,7 +208,25 @@ def prf_field_words(key_lo, key_hi, count: int, xp):
     400 MB of host shake+transfer at 2^20-cycle scale, 16 key bytes
     now."""
     n_digests = (count + 7) // 8
+    words = prf_digest_words(key_lo, key_hi, n_digests, 0, xp)
+    return words[:count]
+
+
+def prf_digest_words(key_lo, key_hi, n_digests: int, ctr_offset, xp):
+    """(8·n_digests,) field words from counter digests
+    [ctr_offset, ctr_offset + n_digests) — the chunkable core of
+    `prf_field_words`. `ctr_offset` may be a traced scalar so one compiled
+    executable serves every chunk of a large draw (the full max_degree-
+    sized draw in ONE dispatch needs ~5 KB of XLA temps per digest through
+    the Pallas BLAKE2b kernel — 32 GB at 2^20-cycle scale, the round-5
+    OOM; callers slice big draws into fixed-size chunks instead)."""
     ctr = xp.arange(n_digests, dtype=xp.uint32)
+    if not isinstance(ctr_offset, int) or ctr_offset:
+        ctr = ctr + (
+            ctr_offset.astype(xp.uint32)
+            if hasattr(ctr_offset, "astype")
+            else xp.uint32(ctr_offset)
+        )
     zero = xp.zeros((n_digests,), dtype=xp.uint32)
 
     def col(v):
@@ -224,7 +242,7 @@ def prf_field_words(key_lo, key_hi, count: int, xp):
     )
     from ..ops.field import P
 
-    return words.reshape(-1)[:count] % xp.uint64(P)
+    return words.reshape(-1) % xp.uint64(P)
 
 
 def salt_key_limbs(seed_bytes: bytes):

@@ -1407,11 +1407,30 @@ class BrainfuckStark:
         # host for numpy — bit-identical), so only 16 key bytes cross the
         # host boundary instead of a (max_degree+1, 3) u64 bulk draw
         # (~400 MB of host generation + upload at 2^20-cycle scale).
-        from .device_merkle import prf_field_words
+        from .device_merkle import prf_digest_words, prf_field_words
 
         rand_count = (self.max_degree + 1) * 3
         rp_lo, rp_hi = salt_key_limbs(rng.bytes(16))
-        if use_jit:
+        # the Pallas BLAKE2b graph costs ~5 KB of XLA temps per digest, so
+        # one whole-draw dispatch needs 32 GB at 2^20-cycle scale (HBM is
+        # 16): draw in fixed-size counter chunks, ONE compiled executable
+        # with the counter offset as a runtime argument
+        PRF_D = 1 << 18
+        n_digests = (rand_count + 7) // 8
+        if use_jit and n_digests > PRF_D:
+            chunk_fn = staged(
+                f"randpoly.D{PRF_D}",
+                lambda kl, kh, off: prf_digest_words(kl, kh, PRF_D, off, xp),
+            )
+            kl_d, kh_d = xp.asarray(rp_lo), xp.asarray(rp_hi)
+            parts = [
+                chunk_fn(kl_d, kh_d, xp.asarray(c * PRF_D, dtype=np.uint32))
+                for c in range(-(-n_digests // PRF_D))
+            ]
+            randomizer_coeffs = xp.concatenate(parts)[:rand_count].reshape(
+                self.max_degree + 1, 3
+            )
+        elif use_jit:
             randomizer_coeffs = staged(
                 "randpoly",
                 lambda kl, kh: prf_field_words(

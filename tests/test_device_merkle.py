@@ -126,3 +126,37 @@ def test_salt_prf_matches_hashlib_and_backends_agree():
         for i in range(16):
             want = hashlib.blake2b(key + i.to_bytes(8, "little")).digest()[:24]
             assert _salt_bytes(wn[i]) == want
+
+
+def test_prf_field_words_chunked_draw_is_bit_identical():
+    """The prover draws the max_degree-sized randomizer polynomial in
+    fixed-size counter chunks (one whole-draw dispatch OOMs at 2^20-cycle
+    scale — stark.py randpoly.D stage); chunk boundaries and a traced
+    counter offset must not change a single word vs the one-shot draw,
+    on either backend."""
+    from stark_brainfuck_tpu.protocol.device_merkle import (
+        prf_digest_words,
+        prf_field_words,
+        salt_key_limbs,
+    )
+
+    key = bytes(range(16))
+    klo, khi = salt_key_limbs(key)
+    count = 8 * 23 + 5  # not a multiple of a chunk or of 8
+    for xp in (np, jnp):
+        kl, kh = xp.asarray(klo), xp.asarray(khi)
+        whole = np.asarray(prf_field_words(kl, kh, count, xp))
+        D = 4
+        n_digests = (count + 7) // 8
+        parts = [
+            np.asarray(
+                prf_digest_words(kl, kh, D, xp.asarray(c * D, np.uint32), xp)
+            )
+            for c in range(-(-n_digests // D))
+        ]
+        chunked = np.concatenate(parts)[:count]
+        assert (whole == chunked).all()
+    # cross-backend agreement (seeded proofs are backend-invariant)
+    wj = np.asarray(prf_field_words(jnp.asarray(klo), jnp.asarray(khi), count, jnp))
+    wn = prf_field_words(klo, khi, count, np)
+    assert (wj == wn).all()
