@@ -312,7 +312,21 @@ class Fri:
                 build_next = (
                     half >= self.host_min and half > _HOST_CUT
                 )
-                if build_next:
+                from .device_merkle import BUILD_CHUNK
+
+                if build_next and half > BUILD_CHUNK:
+                    # beyond the chunked-builder bound, the fused graph's
+                    # unchunked leaf hash materializes a lane-padded
+                    # message transpose of the WHOLE folded codeword
+                    # (16 GB at a 2^25-leaf round — round-5 OOM): fold
+                    # alone, then the chunked tree builder
+                    codeword = _fold_device(
+                        codeword,
+                        xp.asarray(np.asarray(alpha, dtype=U64)),
+                        omega, offset, xp, mesh=self.mesh,
+                    )
+                    pending_tree = DeviceMerkle(codeword, xp)
+                elif build_next:
                     codeword, levels = _fold_device(
                         codeword,
                         xp.asarray(np.asarray(alpha, dtype=U64)),

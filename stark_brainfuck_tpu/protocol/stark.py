@@ -16,6 +16,7 @@ the computation is reorganized TPU-first:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -357,10 +358,17 @@ class BrainfuckStark:
             else "dntt-mesh" if dntt_tables is not None
             else "u64-jnp"
         )
+        # streamed proves never run an N-point transform (S-sized class
+        # NTTs + height-sized INTTs only) — the four-step pack's (R, C)
+        # twiddle matrix alone is N u64 words (0.5 GB at a 2^26 domain)
+        # of device memory the prove would carry for nothing
+        use_stream = self.codec.name == "native" and N >= cfg.stream_min
         packs = {
             "fwd_mxu": fwd_mxu,
             "dntt": dntt_tables,
-            "fwd": nt.make_pack(N, fri.domain.omega, False, xp),
+            "fwd": None if use_stream else nt.make_pack(
+                N, fri.domain.omega, False, xp
+            ),
             "rand_scale": nt.scale_table(fri.domain.offset, self.max_degree + 1, xp),
             "tables": tuple(
                 (
@@ -413,6 +421,8 @@ class BrainfuckStark:
         from ..ops import ntt as nt
 
         N = self.fri.domain.length
+        if rand_coeffs.ndim == 1:  # flat draw; see the randpoly.D note
+            rand_coeffs = rand_coeffs.reshape(-1, 3)
         rows = [
             f.mul(
                 xp.concatenate(
@@ -816,6 +826,61 @@ class BrainfuckStark:
         q = t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
         return self._shard(xp.stack(q, axis=0), 1)
 
+    def _acc_terms(self, acc, terms, w_pairs_g, ratios_g, opow_g, xp, length):
+        """acc += Σ_j (w_plain_j + w_shift_j·x^s_j)·terms[j] over a LIST of
+        (length, 3) extension codewords — the stackless counterpart of
+        `_acc_group`. Mod-p addition is exact and associative, so the
+        per-term order produces bit-identical sums to the chunked
+        tree-sum."""
+        for j, term in enumerate(terms):
+            xs = f.geometric_rows(
+                opow_g[j : j + 1], ratios_g[j : j + 1], length, xp
+            )[0]
+            c = xf.mul_base(
+                xp.broadcast_to(w_pairs_g[j, 1][None, :], (length, 3)),
+                xs, xp,
+            )
+            c = f.add(c, w_pairs_g[j, 0][None, :], xp)
+            acc = xf.add(acc, xf.mul(c, term, xp), xp)
+        return acc
+
+    def _acc_quotients(
+        self, ti, acc, base_cw, ext_cw, challenges, terminals, zinv_triple,
+        w_pairs_g, ratios_g, opow_g, xp, ud, length,
+    ):
+        """Fused quotient evaluation + weighted accumulation for table ti
+        on one strided class: each quotient term is consumed the moment it
+        is produced, so no (T, length, 3) stack ever crosses a stage
+        boundary — XLA assigns such minor-dim-3 stacked buffers an
+        (8, 128)-tiled layout (42.7x padding; the processor stack alone
+        compiled to a 21 GB allocation at S=2^21, the round-5 streamed-
+        combination OOM)."""
+        t = self.tables[ti]
+        alg = ArrayAlgebra(xp)
+        ch_vals = [alg.x(challenges[i]) for i in range(11)]
+        tm_vals = [alg.x(terminals[i]) for i in range(5)]
+
+        def rot(arr):
+            if ud == 0:
+                return arr
+            return xp.concatenate([arr[ud:], arr[:ud]], axis=0)
+
+        point = [alg.base(base_cw[j]) for j in range(t.base_width)]
+        point += [alg.x(ext_cw[j]) for j in range(t.num_ext_columns)]
+        point_next = [alg.base(rot(base_cw[j])) for j in range(t.base_width)]
+        point_next += [
+            alg.x(rot(ext_cw[j])) for j in range(t.num_ext_columns)
+        ]
+        zinv = {
+            "boundary": zinv_triple[0],
+            "transition": zinv_triple[1],
+            "terminal": zinv_triple[2],
+        }
+        q = t.quotients(alg, point, point_next, ch_vals, tm_vals, zinv)
+        return self._acc_terms(
+            acc, q, w_pairs_g, ratios_g, opow_g, xp, length
+        )
+
     # -- streamed (strided-block) prover pieces --------------------------
     # At FRI domains >= config.stream_min, full base/ext codewords never
     # materialize: coefficient groups are evaluated and committed in B
@@ -888,6 +953,8 @@ class BrainfuckStark:
         `_commit_base` exactly."""
         from ..ops import ntt as nt
 
+        if rand_coeffs.ndim == 1:  # flat draw; see the randpoly.D note
+            rand_coeffs = rand_coeffs.reshape(-1, 3)
         groups = [
             f.mul(
                 xp.moveaxis(rand_coeffs, -1, 0),
@@ -1036,6 +1103,7 @@ class BrainfuckStark:
     def _stream_combination(
         self, staged, base_groups, ext_groups, challenges_arr, terminals_arr,
         weights_h, shifts_np, offset_pows_np, splan, xp,
+        table_quot_counts,
     ):
         """Quotients + nonlinear combination evaluated per strided class;
         returns the assembled (N, 3) combination codeword. Per-block data
@@ -1082,11 +1150,20 @@ class BrainfuckStark:
         num_base = sum(t.base_width for t in self.tables)
         num_ext = sum(t.num_ext_columns for t in self.tables)
 
+        # ext values leave the stage already in (num_ext, S, 3) stack form:
+        # a separate reshape dispatch would hold a second 100s-of-MB copy
+        # of the block's extension values live (HBM peak at 2^26 domains)
         vals_stage = staged(
             "sc_vals",
             lambda bg, eg, wb, pk: (
                 block_values(bg, wb, scale_len_b, pk, S, xp),
-                block_values(eg, wb, scale_len_e, pk, S, xp),
+                xp.moveaxis(
+                    block_values(eg, wb, scale_len_e, pk, S, xp).reshape(
+                        num_ext, 3, S
+                    ),
+                    1,
+                    -1,
+                ),
             ),
         )
 
@@ -1118,9 +1195,28 @@ class BrainfuckStark:
             )
             starts_dev = xp.asarray(starts_np)
 
+            # debug bisection: surface WHICH dispatch of a block chain
+            # raises a deferred device error (async errors otherwise all
+            # land on the end-of-block sync)
+            if os.environ.get("STARK_STREAM_SYNC_ALL") and xp is not np:
+                import jax as _jax
+
+                def _dbg(tag, val):
+                    leaf = [
+                        x.ravel()[:1]
+                        for x in _jax.tree_util.tree_leaves(val)
+                        if hasattr(x, "ravel")
+                    ][:1]
+                    _jax.device_get(leaf)
+                    print(f"[sc dbg] b={b} {tag} ok", flush=True)
+            else:
+                def _dbg(tag, val):
+                    return None
+
             base_vals, ext_vals = vals_stage(
                 tuple(base_groups), tuple(ext_groups), wb, splan["pack_S"]
             )
+            _dbg("sc_vals", base_vals)
             zb_boundary, zb_per_height = staged(
                 "sc_zinv",
                 lambda ba, xs, rt, bd, tm, sm, oi: self._stream_zinv_block(
@@ -1130,6 +1226,7 @@ class BrainfuckStark:
                 b_arr, x_start, ratio_B, zs["boundary"],
                 tuple(zterms), tuple(zsmalls), tuple(zoinvs),
             )
+            _dbg("sc_zinv", zb_boundary)
             zinv_b = {
                 "boundary": zb_boundary,
                 "heights": {
@@ -1152,22 +1249,19 @@ class BrainfuckStark:
                 ratios_dev[pos : pos + num_base],
                 starts_dev[pos : pos + num_base],
             )
+            _dbg("sc_acc_base", acc)
             pos += num_base
-            # ext stack as (num_ext, S, 3)
-            ext_stack = staged(
-                "sc_extstack",
-                lambda ev: xp.moveaxis(
-                    ev.reshape(num_ext, 3, S), 1, -1
-                ),
-            )(ext_vals)
+            ext_stack = ext_vals  # (num_ext, S, 3) straight from sc_vals
             acc = acc_stage("ext", num_ext)(
                 acc, ext_stack, w_pairs_dev[pos : pos + num_ext],
                 ratios_dev[pos : pos + num_ext],
                 starts_dev[pos : pos + num_ext],
             )
+            _dbg("sc_acc_ext", acc)
             pos += num_ext
 
-            # per-table quotient stacks on the block
+            # per-table fused quotients+accumulation on the block (no
+            # stacked (T, S, 3) stage outputs — see _acc_quotients)
             row0 = 3
             ext0 = 0
             ext_cws_b = []
@@ -1181,38 +1275,52 @@ class BrainfuckStark:
                 zb = zinv_b["heights"][h]
                 zinv3 = (zinv_b["boundary"], zb["transition"], zb["terminal"])
                 ud_b = t.unit_distance(N) // B if h > 0 else 0
-                stack = staged(
-                    f"sc_quot{ti}",
-                    lambda bc, ec, ch, tm, z3, _ti=ti, _ud=ud_b:
-                        self._table_quotient_stack(
-                            _ti, bc, ec, ch, tm, z3, xp, ud=_ud
-                        ),
-                )(base_cw_b, ext_cw_b, challenges_arr, terminals_arr, zinv3)
-                count = stack.shape[0]
-                acc = acc_stage("q", count)(
-                    acc, stack, w_pairs_dev[pos : pos + count],
+                count = table_quot_counts[ti]
+                acc = staged(
+                    f"sc_quotacc{ti}",
+                    lambda a, bc, ec, ch, tm, z3, wp, rt, st,
+                    _ti=ti, _ud=ud_b: self._acc_quotients(
+                        _ti, a, bc, ec, ch, tm, z3, wp, rt, st, xp, _ud, S
+                    ),
+                )(
+                    acc, base_cw_b, ext_cw_b, challenges_arr, terminals_arr,
+                    zinv3, w_pairs_dev[pos : pos + count],
                     ratios_dev[pos : pos + count],
                     starts_dev[pos : pos + count],
                 )
+                _dbg(f"sc_quotacc{ti}", acc)
                 pos += count
 
-            pa_stack = staged(
-                "sc_pa",
-                lambda e0, e1, e2, bz: xp.stack(
+            acc = staged(
+                "sc_paacc",
+                lambda a, e0, e1, e2, bz, wp, rt, st: self._acc_terms(
+                    a,
                     [
                         xf.mul_base(xf.sub(e0[0], e1[0], xp), bz, xp),
                         xf.mul_base(xf.sub(e0[1], e2[0], xp), bz, xp),
                     ],
-                    axis=0,
+                    wp, rt, st, xp, S,
                 ),
-            )(ext_cws_b[0], ext_cws_b[1], ext_cws_b[2], zinv_b["boundary"])
-            acc = acc_stage("q", 2)(
-                acc, pa_stack, w_pairs_dev[pos : pos + 2],
+            )(
+                acc, ext_cws_b[0], ext_cws_b[1], ext_cws_b[2],
+                zinv_b["boundary"], w_pairs_dev[pos : pos + 2],
                 ratios_dev[pos : pos + 2], starts_dev[pos : pos + 2],
             )
+            _dbg("sc_paacc", acc)
             pos += 2
             assert pos == shifts_np.shape[0]
             comb_blocks.append(acc)
+            # hard sync (1-element fetch — block_until_ready is unreliable
+            # through the remote-tunnel backend): the host otherwise runs
+            # all B block chains ahead of the device and several blocks'
+            # multi-GB evaluation/quotient intermediates stay in flight at
+            # once on top of the prover's persistent state — a RUNTIME HBM
+            # exhaustion at the 2^26 FRI domain. Period scales inversely
+            # with the block size so small streamed runs pay ~nothing.
+            if xp is not np and (b + 1) % max(1, (1 << 21) // S) == 0:
+                import jax
+
+                jax.device_get(acc.ravel()[:1])
 
         # leaf i = q·B + b  ->  comb[i] = blocks[b][q]
         comb = xp.stack(comb_blocks, axis=1).reshape(N, 3)
@@ -1415,6 +1523,11 @@ class BrainfuckStark:
         # one whole-draw dispatch needs 32 GB at 2^20-cycle scale (HBM is
         # 16): draw in fixed-size counter chunks, ONE compiled executable
         # with the counter offset as a runtime argument
+        # ... and the draw stays FLAT until inside the consumer stage: a
+        # standalone (max_degree+1, 3) u64 array tiles to (8, 128) lanes on
+        # TPU — 42.7x layout padding, 16 GB for the array alone at a 2^26
+        # FRI domain (the second round-5 OOM). The coeff stages reshape
+        # where XLA fuses the transpose into a compact strided read.
         PRF_D = 1 << 18
         n_digests = (rand_count + 7) // 8
         if use_jit and n_digests > PRF_D:
@@ -1427,20 +1540,14 @@ class BrainfuckStark:
                 chunk_fn(kl_d, kh_d, xp.asarray(c * PRF_D, dtype=np.uint32))
                 for c in range(-(-n_digests // PRF_D))
             ]
-            randomizer_coeffs = xp.concatenate(parts)[:rand_count].reshape(
-                self.max_degree + 1, 3
-            )
+            randomizer_coeffs = xp.concatenate(parts)[:rand_count]
         elif use_jit:
             randomizer_coeffs = staged(
                 "randpoly",
-                lambda kl, kh: prf_field_words(
-                    kl, kh, rand_count, xp
-                ).reshape(self.max_degree + 1, 3),
+                lambda kl, kh: prf_field_words(kl, kh, rand_count, xp),
             )(xp.asarray(rp_lo), xp.asarray(rp_hi))
         else:
-            randomizer_coeffs = prf_field_words(
-                rp_lo, rp_hi, rand_count, np
-            ).reshape(self.max_degree + 1, 3)
+            randomizer_coeffs = prf_field_words(rp_lo, rp_hi, rand_count, np)
         base_rands = tuple(
             xp.asarray(rng.base_elements((t.base_width, t.num_randomizers)))
             if t.num_randomizers > 0 and t.height > 0
@@ -1598,6 +1705,17 @@ class BrainfuckStark:
             )
             ext_groups = stage_b(xcols_dev, ext_rands, packs)
             ext_codewords_per_table = None
+            if not cfg.debug_degree_checks:
+                # the extension columns' only remaining consumer is the
+                # debug xtest path; dropping the references lets the
+                # runtime free ~400 MB once stage_b consumes them
+                # (streamed proves run at the edge of HBM)
+                for t in self.tables:
+                    t.xcolumns = None
+                xcols_dev = None
+                # the device trace matrices were consumed by stage_a and
+                # the extend scan; only the coefficient groups persist
+                mats = None
             _mark("stage_b (ext coeffs)", sync=ext_groups)
         else:
             stage_b = staged(
@@ -1739,6 +1857,12 @@ class BrainfuckStark:
                 staged, base_groups, ext_groups, challenges_arr,
                 terminals_arr, weights_h, shifts_np, offset_pows_np,
                 splan, xp,
+                [
+                    len(t.all_quotient_degree_bounds(
+                        challenges_h, terminals_h
+                    ))
+                    for t in self.tables
+                ],
             )
         else:
             from .device_merkle import _HOST_CUT as _hc
@@ -1834,6 +1958,12 @@ class BrainfuckStark:
                 ext_tree.resolve(
                     open_idx, reopen_rows(ext_groups, splan, xp)
                 )
+                # the coefficient groups' and the zerofier-inverse store's
+                # last consumers are the passes above — free ~2.6 GB of
+                # device memory before FRI runs (2^26 domains ride the
+                # HBM ceiling)
+                base_groups = ext_groups = None
+                self._zs_cache = None
                 _mark("reopen (streamed 2nd pass)")
             batch = [(base_tree, open_idx), (ext_tree, open_idx)]
             if device_like:
