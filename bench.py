@@ -3,8 +3,11 @@
 
 Measures steady-state end-to-end prover throughput (cycles proven per
 second, trace generation excluded, jit warmup excluded) on a synthetic
-counter workload of ~2^BENCH_LOG2_CYCLES cycles (default 14), on whatever
-device JAX_PLATFORMS selects (the driver runs this on real TPU).
+counter workload of ~2^BENCH_LOG2_CYCLES cycles (default 20 — the
+north-star BASELINE config-4 scale: ~1.04M-cycle trace, FRI domain 2^26,
+streamed commitments), on whatever device JAX_PLATFORMS selects (the
+driver runs this on real TPU). First contact with a trace-size bucket
+compiles (persisted in .jax_cache/); steady state is seconds-to-a-minute.
 
 vs_baseline compares against the measured reference CPython prover
 (scripts/measure_reference.py -> reference_baseline.json). The reference is
@@ -52,7 +55,7 @@ def counter_program(target_cycles: int) -> str:
 
 
 def main():
-    log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "14"))
+    log2 = int(os.environ.get("BENCH_LOG2_CYCLES", "20"))
     import jax
 
     # persist compiled executables across runs — stage compiles dominate
